@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark: DAF (VGG16) training throughput on one TPU chip.
+
+Measures steady-state images/sec of the full jitted DAF train step — source
+forward + target forward + 6 DA losses + backward + SGD — at the reference
+recipe's shapes (shortest side 600, Cityscapes aspect ratio → 600×1200,
+batch 1 source + 1 target per step, counting both domain images like the
+reference hot loop processes them).
+
+Baseline: the reference (torch-0.4 + CUDA kernels, V100) has no published
+throughput (SURVEY §6); per BASELINE.md the speed target is ≥2×
+images/sec/chip vs that stack. We take 8.0 images/sec (≈4 DAF steps/sec × 2
+images) as the assumed V100 reference throughput for ``vs_baseline``;
+vs_baseline ≥ 2.0 meets the north-star target.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+ASSUMED_BASELINE_IMAGES_PER_SEC = 8.0
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from __graft_entry__ import _make_batch
+    from tllod_tpu.config import Config, cfg_from_file
+    from tllod_tpu.methods.daf import DAFModel, daf_loss
+    from tllod_tpu.train import create_train_state, make_train_step
+    from tllod_tpu.utils.optim import make_sgd
+    import dataclasses
+    import os
+
+    cfg = Config()
+    yml = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "cfgs", "vgg16.yml")
+    if os.path.exists(yml):
+        cfg = cfg_from_file(cfg, yml)
+    cfg = dataclasses.replace(cfg, ANCHOR_SCALES=(4, 8, 16, 32),
+                              MAX_NUM_GT_BOXES=50)
+
+    h, w, b = 600, 1200, 1
+    model = DAFModel(num_classes=9, cfg=cfg, net="vgg16")
+    src = _make_batch(b, h, w, domain=1, seed=0)
+    tgt = _make_batch(b, h, w, domain=0, seed=1)
+    src["gt_boxes"] = np.pad(src["gt_boxes"],
+                             ((0, 0), (0, 50 - src["gt_boxes"].shape[1]),
+                              (0, 0)))
+    tgt["gt_boxes"] = np.pad(tgt["gt_boxes"],
+                             ((0, 0), (0, 50 - tgt["gt_boxes"].shape[1]),
+                              (0, 0)))
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)}, src, tgt, training=True)["params"]
+    tx = make_sgd(0.002, clip_norm=10.0)
+    state = create_train_state(params, tx)
+
+    def apply_fn(p, rngs, src, tgt):
+        return model.apply({"params": p}, src, tgt, training=True, rngs=rngs)
+
+    step = make_train_step(apply_fn, daf_loss, tx)
+    rng = jax.random.PRNGKey(3)
+    src = jax.device_put(src)
+    tgt = jax.device_put(tgt)
+
+    # warmup / compile
+    for _ in range(3):
+        state, metrics = step(state, rng, src, tgt)
+    jax.block_until_ready(state.params)
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, rng, src, tgt)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = n_steps * 2 * b / dt  # source + target per step
+    print(json.dumps({
+        "metric": "daf_vgg16_train_images_per_sec_per_chip",
+        "value": round(images_per_sec, 3),
+        "unit": "images/sec/chip (600x1200, bs1 src + bs1 tgt)",
+        "vs_baseline": round(
+            images_per_sec / ASSUMED_BASELINE_IMAGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

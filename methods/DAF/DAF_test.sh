@@ -1,0 +1,6 @@
+#!/bin/bash
+# Sweep epoch checkpoints on the target test split (reference DAF_test.sh)
+for epoch in 4 5 6 7 8 9 10; do
+  python methods/DAF/DAF_test.py --dataset cityscape --part test_t --net vgg16 \
+    --load_name "./output/model_weight/vgg16/cityscape/daf_1_${epoch}_0" --tpu "$@"
+done

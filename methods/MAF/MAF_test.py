@@ -1,0 +1,19 @@
+#!/usr/bin/env python
+"""MAF evaluation (reference ``methods/MAF/MAF_test.py``): vanilla detector
+with the MAF checkpoint's detector subtree."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from common import build_test_parser  # noqa: E402
+from da_runner import run_da_eval  # noqa: E402
+
+
+def main():
+    args = build_test_parser("Evaluate a MAF network (TPU)").parse_args()
+    run_da_eval(args)
+
+
+if __name__ == "__main__":
+    main()

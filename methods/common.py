@@ -1,0 +1,162 @@
+"""Shared entry-point machinery for all method CLIs.
+
+Preserves the reference's public surface (``methods/<M>/<M>_train.py`` flag
+set, ``--dataset/--net/--bs/--lr/--lamda/...``) while routing everything
+through the single TPU data layer and jitted train/eval steps. ``--cuda``
+is accepted for drop-in script compatibility and means "use the accelerator"
+(a TPU here); ``--tpu`` is the native alias.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from tllod_tpu.config import Config, cfg_from_file, cfg_from_list  # noqa: E402
+
+
+def build_train_parser(description: str) -> argparse.ArgumentParser:
+    """Argparse surface mirroring the reference train scripts
+    (``methods/DAF/DAF_train.py:44-132``)."""
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--dataset", default="cityscape", type=str)
+    p.add_argument("--net", default="vgg16", type=str,
+                   help="vgg16, res50, res101, res152")
+    p.add_argument("--start_epoch", default=1, type=int)
+    p.add_argument("--epochs", dest="max_epochs", default=10, type=int)
+    p.add_argument("--disp_interval", default=100, type=int)
+    p.add_argument("--checkpoint_interval", default=10000, type=int)
+    p.add_argument("--save_dir", default="./output/model_weight", type=str)
+    p.add_argument("--nw", dest="num_workers", default=0, type=int)
+    p.add_argument("--cuda", action="store_true",
+                   help="use the accelerator (TPU) — kept for script parity")
+    p.add_argument("--tpu", action="store_true", help="use the TPU")
+    p.add_argument("--ls", dest="large_scale", action="store_true")
+    p.add_argument("--mGPUs", dest="m_chips", action="store_true",
+                   help="shard the batch over all available chips")
+    p.add_argument("--bs", dest="batch_size", default=1, type=int)
+    p.add_argument("--cag", dest="class_agnostic", action="store_true")
+    p.add_argument("--o", dest="optimizer", default="sgd", type=str)
+    p.add_argument("--lr", default=0.002, type=float)
+    p.add_argument("--lr_decay_step", default=6, type=int)
+    p.add_argument("--lr_decay_gamma", default=0.1, type=float)
+    p.add_argument("--lamda", default=0.1, type=float)
+    p.add_argument("--s", dest="session", default=1, type=int)
+    p.add_argument("--r", dest="resume", default=False, type=bool)
+    p.add_argument("--checksession", default=1, type=int)
+    p.add_argument("--checkepoch", default=1, type=int)
+    p.add_argument("--checkpoint", default=0, type=int)
+    p.add_argument("--use_tfb", dest="use_tfboard", action="store_true")
+    p.add_argument("--max_steps", default=0, type=int,
+                   help="optional hard step cap (0 = full epochs)")
+    p.add_argument("--set", dest="set_cfgs", nargs="*", default=None,
+                   help="extra KEY VALUE config overrides")
+    return p
+
+
+def build_test_parser(description: str) -> argparse.ArgumentParser:
+    """Mirrors the reference test scripts (``methods/DAF/DAF_test.py``)."""
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--dataset", default="cityscape", type=str)
+    p.add_argument("--part", default="test_t", type=str,
+                   help="test_s | test_t | test_all")
+    p.add_argument("--net", default="vgg16", type=str)
+    p.add_argument("--cfg", dest="cfg_file", default=None, type=str)
+    p.add_argument("--load_name", default=None, type=str, required=False,
+                   help="checkpoint path to evaluate")
+    p.add_argument("--model_dir", default=None, type=str,
+                   help="alias of --load_name")
+    p.add_argument("--cuda", action="store_true")
+    p.add_argument("--tpu", action="store_true")
+    p.add_argument("--ls", dest="large_scale", action="store_true")
+    p.add_argument("--cag", dest="class_agnostic", action="store_true")
+    p.add_argument("--output_dir", default="./output/eval", type=str)
+    p.add_argument("--max_per_image", default=100, type=int)
+    p.add_argument("--set", dest="set_cfgs", nargs="*", default=None)
+    return p
+
+
+# dataset alias → (source imdb, target imdb, test_s, test_t, set_cfgs)
+# (reference methods/DAF/DAF_train.py:168-198)
+DATASET_MAP: Dict[str, dict] = {
+    "cityscape": {
+        "s_imdb": "cityscape_2007_train_s",
+        "t_imdb": "cityscape_2007_train_t",
+        "s_test": "cityscape_2007_test_s",
+        "t_test": "cityscape_2007_test_t",
+        "set_cfgs": ["ANCHOR_SCALES", "[4,8,16,32]",
+                     "ANCHOR_RATIOS", "[0.5,1,2]",
+                     "MAX_NUM_GT_BOXES", "50"],
+    },
+    "pascal_voc": {
+        "s_imdb": "voc_2007_trainval",
+        "t_imdb": "voc_2007_trainval",
+        "s_test": "voc_2007_test",
+        "t_test": "voc_2007_test",
+        "set_cfgs": ["ANCHOR_SCALES", "[4,8,16,32]",
+                     "ANCHOR_RATIOS", "[0.5,1,2]",
+                     "MAX_NUM_GT_BOXES", "50"],
+    },
+    "voc_clipart": {  # US-DAF UniDAOD setting
+        "s_imdb": "voc_us_2007_trainval+voc_us_2012_trainval",
+        "t_imdb": "clipart_us_trainval",
+        "s_test": "voc_2007_test",
+        "t_test": "clipart_us_trainval",
+        "set_cfgs": ["ANCHOR_SCALES", "[4,8,16,32]",
+                     "ANCHOR_RATIOS", "[0.5,1,2]",
+                     "MAX_NUM_GT_BOXES", "50"],
+    },
+}
+
+
+def resolve_config(args, *, training: bool = True) -> Config:
+    """defaults → cfgs/<net>.yml → dataset set_cfgs → --set overrides
+    (reference order: ``DAF_train.py:200-204``)."""
+    cfg = Config()
+    suffix = "_ls" if getattr(args, "large_scale", False) else ""
+    cfg_file = getattr(args, "cfg_file", None) or os.path.join(
+        REPO_ROOT, "cfgs", f"{args.net}{suffix}.yml")
+    if os.path.exists(cfg_file):
+        cfg = cfg_from_file(cfg, cfg_file)
+    ds = DATASET_MAP.get(args.dataset)
+    if ds is not None:
+        cfg = cfg_from_list(cfg, ds["set_cfgs"])
+    if getattr(args, "set_cfgs", None):
+        cfg = cfg_from_list(cfg, args.set_cfgs)
+    return cfg
+
+
+class MetricLogger:
+    """disp_interval loss printing (reference ``DAF_train.py:410-446``)."""
+
+    def __init__(self, interval: int):
+        self.interval = interval
+        self.t0 = time.time()
+        self.acc: Dict[str, float] = {}
+        self.n = 0
+
+    def update(self, step: int, epoch: int, lr: float,
+               metrics: Dict) -> None:
+        for k, v in metrics.items():
+            self.acc[k] = self.acc.get(k, 0.0) + float(v)
+        self.n += 1
+        if step % self.interval == 0 and self.n:
+            dt = time.time() - self.t0
+            avg = {k: v / self.n for k, v in self.acc.items()}
+            parts = ", ".join(f"{k}: {v:.4f}" for k, v in sorted(avg.items())
+                              if k != "fg_cnt")
+            fg = avg.get("fg_cnt")
+            fg_str = f", fg={fg:.0f}" if fg is not None else ""
+            print(f"[session] epoch {epoch:2d} step {step:6d} "
+                  f"lr {lr:.2e} time/iter {dt / self.n:.3f}s{fg_str} | "
+                  f"{parts}", flush=True)
+            self.acc, self.n, self.t0 = {}, 0, time.time()

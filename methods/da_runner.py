@@ -1,0 +1,154 @@
+"""Generic two-stream (source+target) DA training/eval runner.
+
+Every UDAOD method's train script in the reference is the same 450-line loop
+with a different model class and loss combination (SURVEY §2.4). This runner
+factors that once; per-method entry points stay as thin wrappers that keep
+the reference's public script surface.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from common import (DATASET_MAP, MetricLogger, build_test_parser,
+                    build_train_parser, resolve_config)
+
+from tllod_tpu.data import DetectionLoader, combined_roidb
+from tllod_tpu.models.faster_rcnn import FasterRCNN
+from tllod_tpu.parallel.mesh import make_mesh, shard_batch
+from tllod_tpu.train import create_train_state, make_train_step
+from tllod_tpu.utils.checkpoint import (detector_params, load_checkpoint,
+                                        restore_into, save_checkpoint)
+from tllod_tpu.utils.optim import make_sgd, step_decay_schedule
+from tllod_tpu.zoo import load_pretrained_backbone
+
+
+def run_da_training(method_name: str, model_ctor: Callable,
+                    loss_builder: Callable, args,
+                    extra_model_kwargs: Optional[dict] = None) -> None:
+    """model_ctor(num_classes, cfg, net, class_agnostic, **kw) → nn.Module
+    with ``__call__(src, tgt, training=...)``; loss_builder(args) → fn(out).
+    """
+    print("Called with args:", args)
+    cfg = resolve_config(args)
+    np.random.seed(cfg.RNG_SEED)
+
+    ds = DATASET_MAP[args.dataset]
+    s_ds, s_roidb, _, _ = combined_roidb(ds["s_imdb"])
+    t_ds, t_roidb, _, _ = combined_roidb(ds["t_imdb"])
+    print(f"source {len(s_roidb)} target {len(t_roidb)} roidb entries")
+
+    s_loader = DetectionLoader(s_roidb, cfg, batch_size=args.batch_size,
+                               domain=1, seed=cfg.RNG_SEED)
+    t_loader = DetectionLoader(t_roidb, cfg, batch_size=args.batch_size,
+                               domain=0, seed=cfg.RNG_SEED + 1)
+
+    model = model_ctor(num_classes=s_ds.num_classes, cfg=cfg, net=args.net,
+                       class_agnostic=args.class_agnostic,
+                       **(extra_model_kwargs or {}))
+
+    s_it, t_it = iter(s_loader), iter(t_loader)
+    src0, tgt0 = next(s_it), next(t_it)
+    params = model.init(
+        {"params": jax.random.PRNGKey(cfg.RNG_SEED),
+         "sampling": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        src0, tgt0, training=True)["params"]
+    params = load_pretrained_backbone(params, args.net,
+                                      subtree=("detector", "backbone"))
+
+    steps_per_epoch = min(len(s_loader), len(t_loader))
+    schedule = step_decay_schedule(args.lr,
+                                   args.lr_decay_step * steps_per_epoch,
+                                   args.lr_decay_gamma)
+    tx = make_sgd(schedule, momentum=cfg.TRAIN.MOMENTUM,
+                  weight_decay=cfg.TRAIN.WEIGHT_DECAY,
+                  double_bias=cfg.TRAIN.DOUBLE_BIAS,
+                  bias_decay=cfg.TRAIN.BIAS_DECAY,
+                  clip_norm=10.0 if args.net == "vgg16" else None)
+    state = create_train_state(params, tx)
+
+    output_dir = os.path.join(args.save_dir, args.net, args.dataset)
+    os.makedirs(output_dir, exist_ok=True)
+    if args.resume:
+        ckpt_path = os.path.join(
+            output_dir, f"{method_name}_{args.checksession}_"
+                        f"{args.checkepoch}_{args.checkpoint}")
+        restored = load_checkpoint(ckpt_path)
+        state = state._replace(params=restored["params"])
+        args.start_epoch = int(restored["epoch"]) + 1
+        print(f"resumed from {ckpt_path}")
+
+    mesh = make_mesh() if args.m_chips else make_mesh(1)
+
+    def apply_fn(params, rngs, src, tgt):
+        return model.apply({"params": params}, src, tgt, training=True,
+                           rngs=rngs)
+
+    train_step = make_train_step(apply_fn, loss_builder(args), tx)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    logger = MetricLogger(args.disp_interval)
+
+    step = 0
+    for epoch in range(args.start_epoch, args.max_epochs + 1):
+        for _ in range(steps_per_epoch):
+            src = shard_batch(next(s_it), mesh)
+            tgt = shard_batch(next(t_it), mesh)
+            state, metrics = train_step(state, rng, src, tgt)
+            step += 1
+            logger.update(step, epoch, float(schedule(step)), metrics)
+            if args.max_steps and step >= args.max_steps:
+                break
+        save_checkpoint(
+            os.path.join(output_dir,
+                         f"{method_name}_{args.session}_{epoch}_{step}"),
+            params=state.params, opt_state=state.opt_state, step=step,
+            epoch=epoch, session=args.session,
+            meta={"pooling_mode": cfg.POOLING_MODE,
+                  "class_agnostic": args.class_agnostic})
+        print(f"saved checkpoint for epoch {epoch}")
+        if args.max_steps and step >= args.max_steps:
+            break
+
+
+def run_da_eval(args) -> dict:
+    """Evaluate the detector subtree of any DA checkpoint on the chosen
+    split (the reference's per-method *_test.py, which all use the vanilla
+    detector — SURVEY §1)."""
+    from tllod_tpu.eval_engine import evaluate_model
+
+    cfg = resolve_config(args, training=False)
+    np.random.seed(cfg.RNG_SEED)
+
+    ds = DATASET_MAP[args.dataset]
+    split = {"test_s": "s_test", "test_t": "t_test"}.get(args.part, "t_test")
+    dataset, roidb, _, _ = combined_roidb(ds[split], training=False,
+                                          use_flipped=False)
+    print(f"{len(roidb)} roidb entries for {ds[split]}")
+
+    model = FasterRCNN(num_classes=dataset.num_classes, cfg=cfg,
+                       net=args.net, class_agnostic=args.class_agnostic)
+    # structure/shape template only — eval_shape traces without compiling
+    template = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "sampling": jax.random.PRNGKey(1)},
+            np.zeros((1, 128, 128, 3), np.float32),
+            np.array([[128, 128, 1.0]], np.float32),
+            np.zeros((1, cfg.MAX_NUM_GT_BOXES, 5), np.float32),
+            training=False))["params"]
+
+    ckpt = args.load_name or args.model_dir
+    assert ckpt, "--load_name checkpoint path required"
+    print(f"load checkpoint {ckpt}")
+    restored = load_checkpoint(ckpt)
+    params = restore_into(template, detector_params(restored["params"]))
+
+    return evaluate_model(
+        model, params, dataset, roidb, cfg,
+        os.path.join(args.output_dir, args.net, args.dataset),
+        max_per_image=args.max_per_image,
+        class_agnostic=args.class_agnostic)

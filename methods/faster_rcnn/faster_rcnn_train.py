@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Vanilla (source-only) Faster R-CNN training — the supervised baseline
+(reference ``methods/faster_rcnn/faster_rcnn_train.py``)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from common import (DATASET_MAP, MetricLogger, build_train_parser,  # noqa: E402
+                    resolve_config)
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+from tllod_tpu.data import DetectionLoader, combined_roidb  # noqa: E402
+from tllod_tpu.models.faster_rcnn import FasterRCNN, detection_loss  # noqa: E402
+from tllod_tpu.parallel.mesh import make_mesh, shard_batch  # noqa: E402
+from tllod_tpu.train import create_train_state, make_train_step  # noqa: E402
+from tllod_tpu.utils.checkpoint import load_checkpoint, save_checkpoint  # noqa: E402
+from tllod_tpu.utils.optim import make_sgd, step_decay_schedule  # noqa: E402
+from tllod_tpu.zoo import load_pretrained_backbone  # noqa: E402
+
+
+def main():
+    args = build_train_parser("Train a Faster R-CNN network (TPU)"
+                              ).parse_args()
+    print("Called with args:", args)
+    cfg = resolve_config(args)
+    np.random.seed(cfg.RNG_SEED)
+
+    ds = DATASET_MAP[args.dataset]
+    dataset, roidb, _, _ = combined_roidb(ds["s_imdb"])
+    print(f"{len(roidb)} roidb entries")
+
+    loader = DetectionLoader(roidb, cfg, batch_size=args.batch_size,
+                             domain=1, seed=cfg.RNG_SEED)
+    model = FasterRCNN(num_classes=dataset.num_classes, cfg=cfg,
+                       net=args.net, class_agnostic=args.class_agnostic)
+
+    it = iter(loader)
+    batch0 = next(it)
+    params = model.init(
+        {"params": jax.random.PRNGKey(cfg.RNG_SEED),
+         "sampling": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        batch0["im_data"], batch0["im_info"], batch0["gt_boxes"],
+        training=True)["params"]
+    params = load_pretrained_backbone(params, args.net)
+
+    steps_per_epoch = len(loader)
+    schedule = step_decay_schedule(args.lr,
+                                   args.lr_decay_step * steps_per_epoch,
+                                   args.lr_decay_gamma)
+    tx = make_sgd(schedule, momentum=cfg.TRAIN.MOMENTUM,
+                  weight_decay=cfg.TRAIN.WEIGHT_DECAY,
+                  double_bias=cfg.TRAIN.DOUBLE_BIAS,
+                  bias_decay=cfg.TRAIN.BIAS_DECAY,
+                  clip_norm=10.0 if args.net == "vgg16" else None)
+    state = create_train_state(params, tx)
+
+    output_dir = os.path.join(args.save_dir, args.net, args.dataset)
+    os.makedirs(output_dir, exist_ok=True)
+    if args.resume:
+        ckpt = os.path.join(
+            output_dir, f"faster_rcnn_{args.checksession}_"
+                        f"{args.checkepoch}_{args.checkpoint}")
+        restored = load_checkpoint(ckpt)
+        state = state._replace(params=restored["params"])
+        args.start_epoch = int(restored["epoch"]) + 1
+
+    mesh = make_mesh() if args.m_chips else make_mesh(1)
+
+    def apply_fn(params, rngs, batch):
+        return model.apply({"params": params}, batch["im_data"],
+                           batch["im_info"], batch["gt_boxes"],
+                           training=True, rngs=rngs)
+
+    train_step = make_train_step(apply_fn, detection_loss, tx)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    logger = MetricLogger(args.disp_interval)
+
+    step = 0
+    for epoch in range(args.start_epoch, args.max_epochs + 1):
+        for _ in range(steps_per_epoch):
+            batch = shard_batch(next(it), mesh)
+            state, metrics = train_step(state, rng, batch)
+            step += 1
+            logger.update(step, epoch, float(schedule(step)), metrics)
+            if args.max_steps and step >= args.max_steps:
+                break
+        save_checkpoint(
+            os.path.join(output_dir,
+                         f"faster_rcnn_{args.session}_{epoch}_{step}"),
+            params=state.params, opt_state=state.opt_state, step=step,
+            epoch=epoch, session=args.session,
+            meta={"pooling_mode": cfg.POOLING_MODE,
+                  "class_agnostic": args.class_agnostic})
+        print(f"saved checkpoint for epoch {epoch}")
+        if args.max_steps and step >= args.max_steps:
+            break
+
+
+if __name__ == "__main__":
+    main()

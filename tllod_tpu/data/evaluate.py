@@ -1,0 +1,63 @@
+"""Detection evaluation driver: all_boxes → VOC results files → per-class
+AP/mAP (reference ``imdb.evaluate_detections`` →
+``_write_voc_results_file`` → ``_do_python_eval``,
+``lib/datasets/cityscape.py:290-377``)."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from tllod_tpu.data.voc import VOCDetection
+from tllod_tpu.data.voc_eval import voc_eval
+
+
+def write_voc_results(dataset: VOCDetection, all_boxes: List[List],
+                      out_dir: str, comp_id: str = "comp4") -> str:
+    """Write one results file per class: ``image_id score x1 y1 x2 y2`` with
+    1-based coordinates (reference ``cityscape.py:290-306`` adds +1)."""
+    os.makedirs(out_dir, exist_ok=True)
+    template = os.path.join(out_dir,
+                            f"{comp_id}_det_{dataset.split}_{{:s}}.txt")
+    for cls_ind, cls in enumerate(dataset.classes):
+        if cls == "__background__":
+            continue
+        with open(template.format(cls), "w") as f:
+            for im_ind, index in enumerate(dataset.image_index):
+                dets = all_boxes[cls_ind][im_ind]
+                if len(dets) == 0:
+                    continue
+                for k in range(dets.shape[0]):
+                    f.write(f"{index} {dets[k, -1]:.3f} "
+                            f"{dets[k, 0] + 1:.1f} {dets[k, 1] + 1:.1f} "
+                            f"{dets[k, 2] + 1:.1f} {dets[k, 3] + 1:.1f}\n")
+    return template
+
+
+def evaluate_detections(dataset: VOCDetection, all_boxes: List[List],
+                        out_dir: str, *, use_07_metric: bool = True,
+                        ovthresh: float = 0.5) -> Dict[str, float]:
+    """Per-class AP + mAP. The VOC07 11-point metric is the default, matching
+    every published table (reference ``cityscape.py:323`` uses 07 metric for
+    year < 2010)."""
+    template = write_voc_results(dataset, all_boxes, out_dir)
+    cachedir = os.path.join(out_dir, "annotations_cache")
+    aps: Dict[str, float] = {}
+    for cls in dataset.classes:
+        if cls == "__background__":
+            continue
+        _, _, ap = voc_eval(template, dataset.annopath_template,
+                            dataset.imageset_file, cls, cachedir,
+                            ovthresh=ovthresh, use_07_metric=use_07_metric)
+        aps[cls] = ap
+    aps["mAP"] = float(np.mean([v for k, v in aps.items() if k != "mAP"]))
+    return aps
+
+
+def print_eval(aps: Dict[str, float]) -> None:
+    for k, v in aps.items():
+        if k != "mAP":
+            print(f"AP for {k} = {v:.4f}")
+    print(f"Mean AP = {aps['mAP']:.4f}")

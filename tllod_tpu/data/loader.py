@@ -1,0 +1,187 @@
+"""TPU-shaped batch loaders.
+
+Replaces the reference's torch ``Dataset``/``DataLoader`` stack
+(``lib/roi_data_layer/roibatchLoader.py``, per-train-script samplers) with a
+bucketed, prefetching host pipeline that emits **static-shape** numpy batches:
+
+  ``{"im_data": (B, H, W, 3) f32 BGR mean-subtracted,
+     "im_info": (B, 3)  (content_h, content_w, scale),
+     "gt_boxes": (B, MAX_GT, 5),
+     "num_boxes": (B,),
+     "domain": (B,) }``
+
+TPU-first design decisions vs the reference:
+
+  * images are padded up to a small set of *bucket* shapes (each dim rounded
+    up to a multiple of ``pad_multiple``) so the jitted train step compiles
+    once per bucket instead of once per image. Cityscapes at short-side 600
+    collapses to a single (600, 1200) bucket — zero padding, exact parity.
+  * ``im_info`` carries the true content size, so anchors/clipping treat the
+    bucket padding as outside-image (reference semantics preserved).
+  * the domain label is an explicit constructor argument (source=1/target=0)
+    instead of the reference's filename convention
+    (``lib/DAF/minibatch.py:34-39``).
+  * aspect-ratio grouping (reference ``roibatchLoader.py:38-55``) is kept:
+    the ratio-sorted index is chunked into batches, each batch padded to a
+    common target ratio, batch order shuffled per epoch (reference
+    ``sampler``, ``methods/DAF/DAF_train.py:135-158``).
+  * a background thread prefetches batches (replaces DataLoader workers).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from tllod_tpu.config import Config
+from tllod_tpu.data.transforms import crop_to_ratio, load_image_bgr, prep_image
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class DetectionLoader:
+    """Infinite (epoch-looping) training loader."""
+
+    def __init__(self, roidb: List[dict], cfg: Config, *, batch_size: int = 1,
+                 domain: int = 1, seed: int = 3, pad_multiple: int = 100,
+                 prefetch: int = 4, shuffle: bool = True):
+        self.roidb = roidb
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.domain = domain
+        self.pad_multiple = pad_multiple
+        self.max_gt = cfg.MAX_NUM_GT_BOXES
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.prefetch = prefetch
+
+        ratios = np.array([min(max(e["width"] / float(e["height"]), 0.5), 2.0)
+                           for e in roidb])
+        self.order = np.argsort(ratios)
+        self.ratios = ratios[self.order]
+        # per-batch target ratio (reference roibatchLoader.py:38-55)
+        n = len(roidb)
+        self.num_batches = int(np.ceil(n / batch_size))
+        self.batch_ratio = np.ones(self.num_batches)
+        for i in range(self.num_batches):
+            lo, hi = i * batch_size, min((i + 1) * batch_size, n) - 1
+            if self.ratios[hi] < 1:
+                self.batch_ratio[i] = self.ratios[lo]
+            elif self.ratios[lo] > 1:
+                self.batch_ratio[i] = self.ratios[hi]
+
+    def __len__(self):
+        return self.num_batches
+
+    @property
+    def epoch_size(self) -> int:
+        return self.num_batches
+
+    def _load_sample(self, entry: dict, target_ratio: float) -> dict:
+        im = load_image_bgr(entry["image"])
+        if entry["flipped"]:
+            im = im[:, ::-1, :]
+        im, scale = prep_image(im, self.cfg.PIXEL_MEANS,
+                               self.cfg.TRAIN.SCALES[0])
+        gt = np.zeros((len(entry["boxes"]), 5), np.float32)
+        gt[:, :4] = entry["boxes"] * scale
+        gt[:, 4] = entry["gt_classes"]
+        self.rng.shuffle(gt)
+        if entry.get("need_crop"):
+            im, gt4 = crop_to_ratio(im, gt[:, :4], target_ratio, self.rng)
+            gt = np.concatenate([gt4, gt[:, 4:5]], axis=1)
+        # drop degenerate boxes (reference roibatchLoader.py:191-194)
+        keep = (gt[:, 0] != gt[:, 2]) & (gt[:, 1] != gt[:, 3])
+        gt = gt[keep]
+        return {"im": im, "scale": scale, "gt": gt}
+
+    def _make_batch(self, samples: List[dict]) -> Dict[str, np.ndarray]:
+        b = len(samples)
+        hs = [s["im"].shape[0] for s in samples]
+        ws = [s["im"].shape[1] for s in samples]
+        ph = _round_up(max(hs), self.pad_multiple)
+        pw = _round_up(max(ws), self.pad_multiple)
+        im_data = np.zeros((b, ph, pw, 3), np.float32)
+        im_info = np.zeros((b, 3), np.float32)
+        gt_boxes = np.zeros((b, self.max_gt, 5), np.float32)
+        num_boxes = np.zeros((b,), np.int32)
+        for i, s in enumerate(samples):
+            h, w = s["im"].shape[:2]
+            im_data[i, :h, :w] = s["im"]
+            im_info[i] = (h, w, s["scale"])
+            n = min(len(s["gt"]), self.max_gt)
+            gt_boxes[i, :n] = s["gt"][:n]
+            num_boxes[i] = n
+        return {"im_data": im_data, "im_info": im_info, "gt_boxes": gt_boxes,
+                "num_boxes": num_boxes,
+                "domain": np.full((b,), self.domain, np.int32)}
+
+    def _epoch_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        batch_order = (self.rng.permutation(self.num_batches)
+                       if self.shuffle else np.arange(self.num_batches))
+        for bi in batch_order:
+            lo = bi * self.batch_size
+            idxs = self.order[lo: lo + self.batch_size]
+            tr = self.batch_ratio[bi]
+            samples = [self._load_sample(self.roidb[j], tr) for j in idxs]
+            yield self._make_batch(samples)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield batches forever (epoch loop), prefetched by a worker
+        thread."""
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                for batch in self._epoch_batches():
+                    if stop.is_set():
+                        return
+                    q.put(batch)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()
+            # drain so the worker can exit
+            while not q.empty():
+                q.get_nowait()
+
+
+class EvalLoader:
+    """Deterministic per-image eval loader (reference ``roibatchLoader`` eval
+    branch, ``roibatchLoader.py:207-214``: no flip, no crop, no gt)."""
+
+    def __init__(self, roidb: List[dict], cfg: Config, *,
+                 pad_multiple: int = 100):
+        self.roidb = roidb
+        self.cfg = cfg
+        self.pad_multiple = pad_multiple
+
+    def __len__(self):
+        return len(self.roidb)
+
+    def __iter__(self):
+        for entry in self.roidb:
+            im = load_image_bgr(entry["image"])
+            im, scale = prep_image(im, self.cfg.PIXEL_MEANS,
+                                   self.cfg.TEST.SCALES[0])
+            h, w = im.shape[:2]
+            ph = _round_up(h, self.pad_multiple)
+            pw = _round_up(w, self.pad_multiple)
+            im_data = np.zeros((1, ph, pw, 3), np.float32)
+            im_data[0, :h, :w] = im
+            yield {"im_data": im_data,
+                   "im_info": np.array([[h, w, scale]], np.float32),
+                   "img_id": entry.get("img_id"),
+                   "gt_boxes": np.zeros((1, self.cfg.MAX_NUM_GT_BOXES, 5),
+                                        np.float32),
+                   "num_boxes": np.zeros((1,), np.int32)}

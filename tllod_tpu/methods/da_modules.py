@@ -1,0 +1,75 @@
+"""Shared domain-adaptation building blocks.
+
+The image-level and instance-level domain classifiers used (with variations)
+by every UDAOD method. The reference's ``LabelResizeLayer``s — a per-step
+device→host→cv2 round trip to broadcast a scalar domain label to feature-map
+shape (``lib/DAF/LabelResizeLayer.py:18-59``) — disappear entirely: the label
+is a compile-time-shaped broadcast inside the jitted step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tllod_tpu.ops.grl import grad_reverse
+from tllod_tpu.ops.losses import binary_cross_entropy
+
+
+class ImageDA(nn.Module):
+    """Pixel-wise 2-class domain head: GRL → 1×1 conv (512) → ReLU → 1×1 conv
+    (2), both bias-free (reference ``lib/DAF/DA.py:36-50``)."""
+
+    alpha: float = 0.1
+    hidden: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat):
+        x = grad_reverse(feat, self.alpha)
+        x = nn.Conv(self.hidden, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(2, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv2")(x)
+        return x  # (B, H, W, 2) logits
+
+
+def image_da_loss(logits: jnp.ndarray, domain: jnp.ndarray) -> jnp.ndarray:
+    """Mean 2-class NLL against the broadcast domain label (reference
+    ``lib/DAF/faster_rcnn.py:181-185``). logits: (B, H, W, 2); domain: (B,)
+    in {0, 1}."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    is_src = (domain > 0)[:, None, None]
+    picked = jnp.where(is_src, logp[..., 1], logp[..., 0])
+    return -picked.mean()
+
+
+class InstanceDA(nn.Module):
+    """Per-RoI domain head: GRL → fc(in→1024) → ReLU → Drop(.5) → fc(1024)
+    → ReLU → Drop(.5) → fc(1) → sigmoid (reference ``lib/DAF/DA.py:53-73``)."""
+
+    alpha: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, *, deterministic: bool = True):
+        x = grad_reverse(feat, self.alpha)
+        x = nn.Dense(1024, dtype=self.dtype, name="dc_ip1")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.5, deterministic=deterministic)(x)
+        x = nn.Dense(1024, dtype=self.dtype, name="dc_ip2")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.5, deterministic=deterministic)(x)
+        x = nn.Dense(1, dtype=self.dtype, name="classifier")(x)
+        return jax.nn.sigmoid(x)  # (R, 1) probs
+
+
+def instance_da_loss(probs: jnp.ndarray, domain: jnp.ndarray,
+                     rois_per_image: int) -> jnp.ndarray:
+    """Mean BCE against the per-RoI domain label (reference ``lib/DAF/
+    faster_rcnn.py:187-189`` + InstanceLabelResizeLayer). probs: (B*R, 1)."""
+    labels = jnp.repeat(domain.astype(jnp.float32), rois_per_image)[:, None]
+    return binary_cross_entropy(probs, labels)
+

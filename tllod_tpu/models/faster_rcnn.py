@@ -1,0 +1,214 @@
+"""Faster R-CNN assembly: backbone → RPN → RoI sampling → box head → losses.
+
+Rebuild of ``_fasterRCNN`` (``lib/model/faster_rcnn/faster_rcnn.py:19-137``)
+as a flax module whose *entire* train forward — proposals, target sampling,
+RoIAlign, head, all four detection losses — stays inside one jitted, static-
+shape program. Method wrappers (DAF/MAF/ATF/...) compose the granular methods
+(:meth:`features`, :meth:`rpn_rois`, :meth:`roi_features`, :meth:`box_head`,
+:meth:`box_outputs`) rather than forking the class like the reference's
+per-method ``lib/<METHOD>/faster_rcnn.py`` copies.
+
+Parameter tree layout (used for detector-only checkpoint restore at eval,
+matching the filtered ``state_dict`` load in ``methods/DAF/DAF_test.py:194``):
+``backbone/ rpn/ head/ cls_score/ bbox_pred`` — DA methods add disjoint
+sibling subtrees that eval simply drops.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from tllod_tpu.config import Config
+from tllod_tpu.models.backbones import backbone_for
+from tllod_tpu.models.rpn import (AnchorTargets, Proposals, RPNHead,
+                                  RoiSamples, anchor_target, proposal_layer,
+                                  proposal_target, rpn_probs)
+from tllod_tpu.ops.anchors import generate_anchors, shift_anchors
+from tllod_tpu.ops.losses import smooth_l1_loss, softmax_cross_entropy
+from tllod_tpu.ops.roi_align import roi_align_avg
+from tllod_tpu.ops.roi_pool import roi_pool
+
+
+class FasterRCNN(nn.Module):
+    """Shared detector. ``num_classes`` includes background (index 0)."""
+
+    num_classes: int
+    cfg: Config
+    net: str = "vgg16"
+    class_agnostic: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        backbone, head, feat_ch, head_dim = backbone_for(self.net, self.dtype)
+        self.backbone = backbone
+        self.head = head
+        self.dout_base_model = feat_ch
+        self.head_dim = head_dim
+        a = len(self.cfg.ANCHOR_SCALES) * len(self.cfg.ANCHOR_RATIOS)
+        self.num_anchors = a
+        self.rpn = RPNHead(a, dtype=self.dtype)
+        self.cls_score = nn.Dense(
+            self.num_classes, kernel_init=nn.initializers.normal(0.01),
+            dtype=self.dtype, name="cls_score")
+        out_dim = 4 if self.class_agnostic else 4 * self.num_classes
+        self.bbox_pred = nn.Dense(
+            out_dim, kernel_init=nn.initializers.normal(0.001),
+            dtype=self.dtype, name="bbox_pred")
+        self._base_anchors = generate_anchors(
+            base_size=self.cfg.FEAT_STRIDE[0],
+            ratios=self.cfg.ANCHOR_RATIOS, scales=self.cfg.ANCHOR_SCALES)
+
+    # ---- granular pieces (composed by DA method wrappers) ----
+
+    def features(self, im_data, *, return_taps: bool = False):
+        """Backbone feature map(s); im_data is NHWC BGR mean-subtracted."""
+        return self.backbone(im_data, return_taps=return_taps)
+
+    def anchors_for(self, feat_h: int, feat_w: int) -> jnp.ndarray:
+        """(K*A, 4) anchors for a static feature-grid size (host constant)."""
+        return jnp.asarray(shift_anchors(
+            feat_h, feat_w, self.cfg.FEAT_STRIDE[0], self._base_anchors))
+
+    def rpn_rois(self, base_feat, im_info, gt_boxes, *, training: bool,
+                 compute_loss: bool = True) -> Dict[str, Any]:
+        """RPN head + proposal layer (+ anchor targets & losses in training).
+
+        ``training`` selects the TRAIN/TEST proposal params exactly like the
+        reference's ``cfg_key`` (``rpn.py:75``); DAF-style target-domain
+        passes call with ``training=False, compute_loss=False`` to reproduce
+        ``RCNN_rpn.eval()`` on target images (``lib/DAF/faster_rcnn.py:140``).
+        """
+        cfg = self.cfg
+        rcfg = cfg.rpn_cfg(training)
+        cls_score, bbox_pred = self.rpn(base_feat)
+        fg_prob, logits = rpn_probs(cls_score)
+
+        anchors = self.anchors_for(base_feat.shape[1], base_feat.shape[2])
+        props = proposal_layer(
+            fg_prob, bbox_pred, im_info, anchors,
+            pre_nms_top_n=rcfg.RPN_PRE_NMS_TOP_N,
+            post_nms_top_n=rcfg.RPN_POST_NMS_TOP_N,
+            nms_thresh=rcfg.RPN_NMS_THRESH)
+
+        out = {"rois": props.rois, "rois_valid": props.valid,
+               "rpn_cls_prob": fg_prob, "rpn_loss_cls": jnp.float32(0.0),
+               "rpn_loss_box": jnp.float32(0.0)}
+
+        if training and compute_loss:
+            tgt: AnchorTargets = anchor_target(
+                gt_boxes, im_info, anchors, cfg, self.make_rng("sampling"))
+            b = base_feat.shape[0]
+            flat_logits = logits.reshape(b * anchors.shape[0], 2)
+            flat_labels = tgt.labels.reshape(-1)
+            w = (flat_labels >= 0).astype(jnp.float32)
+            out["rpn_loss_cls"] = softmax_cross_entropy(
+                flat_logits, jnp.maximum(flat_labels, 0), w)
+
+            h, wd = base_feat.shape[1], base_feat.shape[2]
+            tgt_hw = tgt.bbox_targets.reshape(b, h, wd, 4 * self.num_anchors)
+            in_w = jnp.broadcast_to(tgt.in_weights[..., None],
+                                    tgt.in_weights.shape + (4,)
+                                    ).reshape(b, h, wd, -1)
+            out_w = jnp.broadcast_to(tgt.out_weights[..., None],
+                                     tgt.out_weights.shape + (4,)
+                                     ).reshape(b, h, wd, -1)
+            out["rpn_loss_box"] = smooth_l1_loss(
+                bbox_pred, tgt_hw, in_w, out_w, sigma=3.0,
+                reduce_dims=(1, 2, 3))
+        return out
+
+    def roi_features(self, base_feat, rois):
+        """Pool RoI features by cfg.POOLING_MODE (reference
+        ``faster_rcnn.py:73-84``); rois is (R, 5) flattened over batch."""
+        cfg = self.cfg
+        scale = 1.0 / cfg.FEAT_STRIDE[0]
+        if cfg.POOLING_MODE == "align":
+            return roi_align_avg(base_feat, rois, out_size=cfg.POOLING_SIZE,
+                                 spatial_scale=scale)
+        if cfg.POOLING_MODE == "pool":
+            return roi_pool(base_feat, rois, out_size=cfg.POOLING_SIZE,
+                            spatial_scale=scale)
+        raise NotImplementedError(
+            f"POOLING_MODE={cfg.POOLING_MODE!r} (shipped configs use 'align')")
+
+    def box_head(self, pooled, *, deterministic: bool = True):
+        return self.head(pooled, deterministic=deterministic)
+
+    def box_outputs(self, fc7):
+        return self.cls_score(fc7), self.bbox_pred(fc7)
+
+    # ---- full forward (reference _fasterRCNN.forward) ----
+
+    def __call__(self, im_data, im_info, gt_boxes, *,
+                 training: bool = False) -> Dict[str, Any]:
+        cfg = self.cfg
+        b = im_data.shape[0]
+        base_feat = self.features(im_data)
+        rpn_out = self.rpn_rois(base_feat, im_info, gt_boxes,
+                                training=training)
+        rois = rpn_out["rois"]
+
+        samples: Optional[RoiSamples] = None
+        if training:
+            samples = proposal_target(rois, gt_boxes, cfg,
+                                      self.make_rng("sampling"))
+            rois = samples.rois
+
+        n_rois = rois.shape[1]
+        flat_rois = rois.reshape(b * n_rois, 5)
+        pooled = self.roi_features(base_feat, flat_rois)
+        fc7 = self.box_head(pooled, deterministic=not training)
+        cls_score, bbox_pred = self.box_outputs(fc7)
+        cls_prob = jax.nn.softmax(cls_score, axis=1)
+
+        out = {
+            "rois": rois,
+            "base_feat": base_feat,
+            "rois_valid": rpn_out["rois_valid"],
+            "rpn_loss_cls": rpn_out["rpn_loss_cls"],
+            "rpn_loss_box": rpn_out["rpn_loss_box"],
+            "rcnn_loss_cls": jnp.float32(0.0),
+            "rcnn_loss_box": jnp.float32(0.0),
+            "pooled_feat": fc7,
+            "rois_label": None,
+        }
+
+        if training:
+            labels = samples.labels.reshape(-1)
+            if not self.class_agnostic:
+                # Pick the 4 regression columns of each RoI's class
+                # (reference faster_rcnn.py:91-95).
+                bp = bbox_pred.reshape(bbox_pred.shape[0], -1, 4)
+                bbox_pred = jnp.take_along_axis(
+                    bp, labels[:, None, None].astype(jnp.int32), axis=1
+                )[:, 0, :]
+            out["rcnn_loss_cls"] = softmax_cross_entropy(cls_score, labels)
+            out["rcnn_loss_box"] = smooth_l1_loss(
+                bbox_pred, samples.bbox_targets.reshape(-1, 4),
+                samples.in_weights.reshape(-1, 4),
+                samples.out_weights.reshape(-1, 4))
+            out["rois_label"] = labels
+
+        out["cls_prob"] = cls_prob.reshape(b, n_rois, -1)
+        out["bbox_pred"] = bbox_pred.reshape(b, n_rois, -1)
+        return out
+
+
+def detection_loss(out: Dict[str, Any]) -> jnp.ndarray:
+    """Standard supervised loss: rpn_cls + rpn_box + rcnn_cls + rcnn_box
+    (reference train scripts, e.g. ``methods/faster_rcnn/faster_rcnn_train
+    .py``)."""
+    return (out["rpn_loss_cls"] + out["rpn_loss_box"]
+            + out["rcnn_loss_cls"] + out["rcnn_loss_box"])
+
+
+def make_anchor_table(cfg: Config) -> np.ndarray:
+    """Base anchors for external callers/tests."""
+    return generate_anchors(base_size=cfg.FEAT_STRIDE[0],
+                            ratios=cfg.ANCHOR_RATIOS,
+                            scales=cfg.ANCHOR_SCALES)

@@ -1,0 +1,148 @@
+"""Train-step and eval-step factories: everything jitted, batch sharded over
+the mesh, params replicated.
+
+The reference hot loop (``methods/DAF/DAF_train.py:353-446``) does per step:
+host dataloader → H2D copies into preallocated holders → forward (with CUDA
+NMS sync + LabelResizeLayer CPU round trip) → backward → clip → SGD. Here one
+``jax.jit`` program does forward+backward+update on device; the host only
+feeds the next (prefetched) batch. Donating the train state keeps parameter
+memory stable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tllod_tpu.config import Config
+from tllod_tpu.ops.boxes import bbox_transform_inv, clip_boxes
+from tllod_tpu.ops.nms import nms_fixed
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(params, tx: optax.GradientTransformation
+                       ) -> TrainState:
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(apply_fn: Callable, loss_fn: Callable,
+                    tx: optax.GradientTransformation,
+                    *, donate: bool = True) -> Callable:
+    """Build a jitted train step.
+
+    apply_fn(params, rngs, *batch_args) → output dict;
+    loss_fn(out) → scalar loss. Returns step(state, rng, *batch_args) →
+    (state, metrics).
+    """
+
+    def step(state: TrainState, rng: jax.Array, *batch_args):
+        rng = jax.random.fold_in(rng, state.step)
+        sampling, dropout = jax.random.split(rng)
+
+        def compute(params):
+            out = apply_fn(params,
+                           {"sampling": sampling, "dropout": dropout},
+                           *batch_args)
+            loss = loss_fn(out)
+            metrics = {k: v for k, v in out.items()
+                       if k.endswith("loss") or k.endswith("loss_cls")
+                       or k.endswith("loss_box")}
+            metrics["loss"] = loss
+            # fg count like the reference's display (DAF_train.py:425-428)
+            if out.get("rois_label") is not None:
+                metrics["fg_cnt"] = (out["rois_label"] > 0).sum()
+            return loss, metrics
+
+        (_, metrics), grads = jax.value_and_grad(
+            compute, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+# ---------------------------------------------------------------------------
+# Inference post-processing (reference methods/DAF/DAF_test.py:264-332)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes", "max_dets",
+                                             "nms_thresh", "class_agnostic"))
+def postprocess_detections(rois, cls_prob, bbox_pred, im_info, *,
+                           num_classes: int, stds, means,
+                           nms_thresh: float = 0.3, max_dets: int = 100,
+                           class_agnostic: bool = False):
+    """Decode + per-class NMS for one image, fixed shapes.
+
+    rois (1, N, 5); cls_prob (1, N, C); bbox_pred (1, N, 4C or 4).
+    Returns (boxes (C, max_dets, 4) in ORIGINAL image coords, scores
+    (C, max_dets), valid (C, max_dets)) with class 0 (background) rows unused.
+
+    Matches the reference eval loop: un-normalize deltas with
+    BBOX_NORMALIZE_STDS/MEANS (``DAF_test.py:272-283``), decode, clip to the
+    network input, divide by im_scale, then per-class NMS at TEST.NMS=0.3.
+    Score thresholding (reference ``thresh=0.0``) and the cross-class
+    max_per_image cap happen on host in the eval driver.
+    """
+    n = rois.shape[1]
+    scores = cls_prob[0]                       # (N, C)
+    boxes = rois[0, :, 1:5]                    # (N, 4)
+
+    deltas = bbox_pred[0]
+    if class_agnostic:
+        deltas = deltas * stds[None, :] + means[None, :]
+        deltas = jnp.tile(deltas, (1, num_classes))
+    else:
+        deltas = (deltas.reshape(n, num_classes, 4) * stds[None, None, :]
+                  + means[None, None, :]).reshape(n, num_classes * 4)
+    pred = bbox_transform_inv(boxes, deltas)             # (N, 4C)
+    pred = clip_boxes(pred, im_info[0, 0], im_info[0, 1])
+    pred = pred / im_info[0, 2]                          # back to raw coords
+    pred = pred.reshape(n, num_classes, 4)
+
+    def per_class(c_boxes, c_scores):
+        idx, num = nms_fixed(c_boxes, c_scores, iou_threshold=nms_thresh,
+                             max_output=max_dets)
+        valid = jnp.arange(max_dets) < num
+        return (jnp.take(c_boxes, idx, axis=0),
+                jnp.take(c_scores, idx), valid)
+
+    out_boxes, out_scores, out_valid = jax.vmap(per_class, in_axes=(1, 1))(
+        pred, scores)
+    return out_boxes, out_scores, out_valid
+
+
+def collect_detections(out_boxes, out_scores, out_valid, *,
+                       num_classes: int, max_per_image: int = 100,
+                       score_thresh: float = 0.0):
+    """Host-side assembly of the per-image ``all_boxes`` row (reference
+    ``DAF_test.py:300-332``): threshold, per-class arrays, global top-100 cap.
+    """
+    out_boxes = np.asarray(out_boxes)
+    out_scores = np.asarray(out_scores)
+    out_valid = np.asarray(out_valid)
+    per_class = []
+    for c in range(num_classes):
+        keep = out_valid[c] & (out_scores[c] > score_thresh)
+        dets = np.concatenate([out_boxes[c][keep],
+                               out_scores[c][keep, None]], axis=1)
+        per_class.append(dets.astype(np.float32))
+    all_scores = np.concatenate([d[:, 4] for d in per_class[1:]]) \
+        if num_classes > 1 else np.zeros(0)
+    if all_scores.size > max_per_image:
+        thresh = np.sort(all_scores)[-max_per_image]
+        per_class = [d[d[:, 4] >= thresh] if c > 0 else d
+                     for c, d in enumerate(per_class)]
+    return per_class
