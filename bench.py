@@ -55,9 +55,14 @@ def main():
                              ((0, 0), (0, 50 - tgt["gt_boxes"].shape[1]),
                               (0, 0)))
 
+    # Init at small spatial size — params are image-size independent, and a
+    # full-size init costs ~6 min of extra compile on the TPU host.
+    src_small = _make_batch(b, 128, 256, domain=1, seed=0)
+    tgt_small = _make_batch(b, 128, 256, domain=0, seed=1)
     params = model.init(
         {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
-         "dropout": jax.random.PRNGKey(2)}, src, tgt, training=True)["params"]
+         "dropout": jax.random.PRNGKey(2)}, src_small, tgt_small,
+        training=True)["params"]
     tx = make_sgd(0.002, clip_norm=10.0)
     state = create_train_state(params, tx)
 
@@ -69,16 +74,17 @@ def main():
     src = jax.device_put(src)
     tgt = jax.device_put(tgt)
 
-    # warmup / compile
+    # warmup / compile (fetch the loss to force real execution — the axon
+    # TPU transport is async and block_until_ready alone does not flush)
     for _ in range(3):
         state, metrics = step(state, rng, src, tgt)
-    jax.block_until_ready(state.params)
+        float(metrics["loss"])
 
-    n_steps = 20
+    n_steps = 30
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step(state, rng, src, tgt)
-    jax.block_until_ready(state.params)
+        float(metrics["loss"])  # per-step sync: honest steady-state timing
     dt = time.perf_counter() - t0
 
     images_per_sec = n_steps * 2 * b / dt  # source + target per step

@@ -1,0 +1,19 @@
+#!/usr/bin/env python
+"""ATF evaluation (reference ``methods/ATF/ATF_test.py``): vanilla detector
+with the ATF checkpoint's detector subtree (main branch)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from common import build_test_parser  # noqa: E402
+from da_runner import run_da_eval  # noqa: E402
+
+
+def main():
+    args = build_test_parser("Evaluate an ATF network (TPU)").parse_args()
+    run_da_eval(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""IDF stage-⑤ training entry point (reference ``methods/IDF/IDF_train.py``).
+
+Pipeline prerequisites (see ``IDF_train.sh``): ① CycleGAN-translated source
+images on disk, ② a source-only detector, ③ pseudo labels via
+``tools/generate_pseudo_labels.py``, ④ mosaics via
+``tools/mosaic_augment.py``. This script trains the dual-branch model on the
+fake-source split + pseudo-labeled target split.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from common import (DATASET_MAP, MetricLogger,  # noqa: E402
+                    build_train_parser, resolve_config)
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+from tllod_tpu.data import DetectionLoader, combined_roidb  # noqa: E402
+from tllod_tpu.data.factory import register_dataset, data_dir  # noqa: E402
+from tllod_tpu.data.voc import CLASS_SETS, VOCDetection  # noqa: E402
+from tllod_tpu.methods.idf import IDFModel, idf_loss  # noqa: E402
+from tllod_tpu.parallel.mesh import make_mesh, shard_batch  # noqa: E402
+from tllod_tpu.train import create_train_state, make_train_step  # noqa: E402
+from tllod_tpu.utils.checkpoint import save_checkpoint  # noqa: E402
+from tllod_tpu.utils.optim import make_sgd, step_decay_schedule  # noqa: E402
+from tllod_tpu.zoo import load_pretrained_backbone  # noqa: E402
+
+
+def main():
+    parser = build_train_parser("Train an IDF network (TPU)")
+    parser.add_argument("--gamma", default=5.0, type=float,
+                        help="focal gamma (reference --gamma)")
+    parser.add_argument("--ef", action="store_true",
+                        help="use EFocalLoss instead of FocalLoss")
+    parser.add_argument("--eta", default=1.0, type=float,
+                        help="GRL strength")
+    parser.add_argument("--s_imdb", default=None, type=str,
+                        help="fake-source (CycleGAN) split name")
+    parser.add_argument("--t_imdb", default=None, type=str,
+                        help="pseudo-labeled target split name")
+    parser.add_argument("--t_annotations", default="Annotations_pseudo",
+                        type=str, help="target annotation subdir")
+    parser.add_argument("--sep_epoch", default=3, type=int,
+                        help="epoch from which separation losses activate "
+                             "(reference IDF_train.py:255)")
+    args = parser.parse_args()
+    print("Called with args:", args)
+    cfg = resolve_config(args)
+    np.random.seed(cfg.RNG_SEED)
+
+    ds = DATASET_MAP[args.dataset]
+    s_name = args.s_imdb or ds["s_imdb"]
+    t_name = args.t_imdb or (ds["t_imdb"] + "_pseudo")
+    if args.t_imdb is None:
+        # register the pseudo-labeled target split: same images as train_t
+        # but annotations from the pseudo-label dir
+        def _ctor():
+            root = os.path.join(data_dir(), "cityscape", "VOC2007")
+            d = VOCDetection(t_name, root, "train_t",
+                             CLASS_SETS["cityscape"])
+            d.annotation_dir = args.t_annotations
+            orig = d.annotation_path
+            d.annotation_path = lambda idx: os.path.join(
+                d.root, args.t_annotations, idx + ".xml")
+            del orig
+            return d
+        register_dataset(t_name, _ctor)
+
+    s_ds, s_roidb, _, _ = combined_roidb(s_name)
+    t_ds, t_roidb, _, _ = combined_roidb(t_name)
+    print(f"source {len(s_roidb)} target(pseudo) {len(t_roidb)} entries")
+
+    s_loader = DetectionLoader(s_roidb, cfg, batch_size=args.batch_size,
+                               domain=1, seed=cfg.RNG_SEED)
+    t_loader = DetectionLoader(t_roidb, cfg, batch_size=args.batch_size,
+                               domain=0, seed=cfg.RNG_SEED + 1)
+
+    model = IDFModel(num_classes=s_ds.num_classes, cfg=cfg, net=args.net,
+                     class_agnostic=args.class_agnostic, eta=args.eta,
+                     gamma=args.gamma, efocal=args.ef)
+
+    s_it, t_it = iter(s_loader), iter(t_loader)
+    src0, tgt0 = next(s_it), next(t_it)
+    src0["separation"] = np.zeros((1,), np.float32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(cfg.RNG_SEED),
+         "sampling": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        src0, tgt0, training=True)["params"]
+    # both branches start from the same pretrained weights (shared init,
+    # reference lib/IDF/vgg16.py:270-291)
+    params = load_pretrained_backbone(params, args.net,
+                                      subtree=("detector", "backbone"))
+    params = load_pretrained_backbone(params, args.net,
+                                      subtree=("backbone_b",),
+                                      head_subtree=("detector", "head"))
+    params = load_pretrained_backbone(params, args.net,
+                                      subtree=("backbone_b",),
+                                      head_subtree=("head_aux",))
+
+    steps_per_epoch = min(len(s_loader), len(t_loader))
+    schedule = step_decay_schedule(args.lr,
+                                   args.lr_decay_step * steps_per_epoch,
+                                   args.lr_decay_gamma)
+    tx = make_sgd(schedule, momentum=cfg.TRAIN.MOMENTUM,
+                  weight_decay=cfg.TRAIN.WEIGHT_DECAY,
+                  double_bias=cfg.TRAIN.DOUBLE_BIAS,
+                  bias_decay=cfg.TRAIN.BIAS_DECAY,
+                  clip_norm=10.0 if args.net == "vgg16" else None)
+    state = create_train_state(params, tx)
+    mesh = make_mesh() if args.m_chips else make_mesh(1)
+
+    def apply_fn(p, rngs, src, tgt):
+        return model.apply({"params": p}, src, tgt, training=True, rngs=rngs)
+
+    train_step = make_train_step(apply_fn, idf_loss, tx)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    logger = MetricLogger(args.disp_interval)
+    output_dir = os.path.join(args.save_dir, args.net, args.dataset)
+    os.makedirs(output_dir, exist_ok=True)
+
+    step = 0
+    for epoch in range(args.start_epoch, args.max_epochs + 1):
+        sep = 1.0 if epoch >= args.sep_epoch else 0.0
+        for _ in range(steps_per_epoch):
+            src = next(s_it)
+            src["separation"] = np.full((src["im_data"].shape[0],), sep,
+                                        np.float32)
+            src = shard_batch(src, mesh)
+            tgt = shard_batch(next(t_it), mesh)
+            state, metrics = train_step(state, rng, src, tgt)
+            step += 1
+            logger.update(step, epoch, float(schedule(step)), metrics)
+            if args.max_steps and step >= args.max_steps:
+                break
+        save_checkpoint(
+            os.path.join(output_dir, f"idf_{args.session}_{epoch}_{step}"),
+            params=state.params, opt_state=state.opt_state, step=step,
+            epoch=epoch, session=args.session,
+            meta={"pooling_mode": cfg.POOLING_MODE,
+                  "class_agnostic": args.class_agnostic})
+        print(f"saved checkpoint for epoch {epoch}")
+        if args.max_steps and step >= args.max_steps:
+            break
+
+
+if __name__ == "__main__":
+    main()

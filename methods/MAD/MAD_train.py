@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""MAD training entry point (reference ``methods/MAD/MAD_train.py``):
+domain-generalized training on two source views with multi-view adversarial
+autoencoders and an epoch-ramped loss weight.
+
+``--dataset cityscape`` uses train_s as both views (distinct shuffle
+streams); ``--dataset dg_union`` takes explicit ``--s1_imdb/--s2_imdb``
+names (the reference's SourceSet_TargetSet_CoSet naming, MAD_train.py:286-293).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from common import (DATASET_MAP, MetricLogger,  # noqa: E402
+                    build_train_parser, resolve_config)
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+from tllod_tpu.data import DetectionLoader, combined_roidb  # noqa: E402
+from tllod_tpu.methods.mad import MADModel, mad_loss  # noqa: E402
+from tllod_tpu.parallel.mesh import make_mesh, shard_batch  # noqa: E402
+from tllod_tpu.train import create_train_state, make_train_step  # noqa: E402
+from tllod_tpu.utils.checkpoint import save_checkpoint  # noqa: E402
+from tllod_tpu.utils.optim import make_sgd, step_decay_schedule  # noqa: E402
+from tllod_tpu.zoo import load_pretrained_backbone  # noqa: E402
+
+
+def main():
+    parser = build_train_parser("Train a MAD network (TPU)")
+    parser.add_argument("--s1_imdb", default=None, type=str)
+    parser.add_argument("--s2_imdb", default=None, type=str)
+    args = parser.parse_args()
+    print("Called with args:", args)
+    cfg = resolve_config(args)
+    np.random.seed(cfg.RNG_SEED)
+
+    if args.s1_imdb and args.s2_imdb:
+        s1_name, s2_name = args.s1_imdb, args.s2_imdb
+    else:
+        ds = DATASET_MAP[args.dataset]
+        s1_name = s2_name = ds["s_imdb"]
+    s1_ds, s1_roidb, _, _ = combined_roidb(s1_name)
+    s2_ds, s2_roidb, _, _ = combined_roidb(s2_name)
+    print(f"s1 {len(s1_roidb)} s2 {len(s2_roidb)} roidb entries")
+
+    l1 = DetectionLoader(s1_roidb, cfg, batch_size=args.batch_size,
+                         domain=1, seed=cfg.RNG_SEED)
+    l2 = DetectionLoader(s2_roidb, cfg, batch_size=args.batch_size,
+                         domain=0, seed=cfg.RNG_SEED + 7)
+
+    model = MADModel(num_classes=s1_ds.num_classes, cfg=cfg, net=args.net,
+                     class_agnostic=args.class_agnostic)
+    it1, it2 = iter(l1), iter(l2)
+    b1, b2 = next(it1), next(it2)
+    params = model.init(
+        {"params": jax.random.PRNGKey(cfg.RNG_SEED),
+         "sampling": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        b1, b2, training=True)["params"]
+    params = load_pretrained_backbone(params, args.net,
+                                      subtree=("detector", "backbone"))
+
+    steps_per_epoch = min(len(l1), len(l2))
+    schedule = step_decay_schedule(args.lr,
+                                   args.lr_decay_step * steps_per_epoch,
+                                   args.lr_decay_gamma)
+    tx = make_sgd(schedule, momentum=cfg.TRAIN.MOMENTUM,
+                  weight_decay=cfg.TRAIN.WEIGHT_DECAY,
+                  double_bias=cfg.TRAIN.DOUBLE_BIAS,
+                  bias_decay=cfg.TRAIN.BIAS_DECAY,
+                  clip_norm=10.0 if args.net == "vgg16" else None)
+    state = create_train_state(params, tx)
+    mesh = make_mesh() if args.m_chips else make_mesh(1)
+
+    def apply_fn(p, rngs, s1, s2):
+        out = model.apply({"params": p}, s1, s2, training=True, rngs=rngs)
+        # epoch-ramped loss weight rides in the batch (traced scalar)
+        out["epoch"] = s1["epoch"][0]
+        return out
+
+    train_step = make_train_step(apply_fn,
+                                 lambda out: mad_loss(out, out["epoch"]), tx)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    logger = MetricLogger(args.disp_interval)
+    output_dir = os.path.join(args.save_dir, args.net, args.dataset)
+    os.makedirs(output_dir, exist_ok=True)
+
+    step = 0
+    for epoch in range(args.start_epoch, args.max_epochs + 1):
+        for _ in range(steps_per_epoch):
+            s1 = next(it1)
+            s2 = next(it2)
+            s1["epoch"] = np.full((s1["im_data"].shape[0],), epoch,
+                                  np.float32)
+            s1 = shard_batch(s1, mesh)
+            s2 = shard_batch(s2, mesh)
+            state, metrics = train_step(state, rng, s1, s2)
+            step += 1
+            logger.update(step, epoch, float(schedule(step)), metrics)
+            if args.max_steps and step >= args.max_steps:
+                break
+        save_checkpoint(
+            os.path.join(output_dir, f"mad_{args.session}_{epoch}_{step}"),
+            params=state.params, opt_state=state.opt_state, step=step,
+            epoch=epoch, session=args.session,
+            meta={"pooling_mode": cfg.POOLING_MODE,
+                  "class_agnostic": args.class_agnostic})
+        print(f"saved checkpoint for epoch {epoch}")
+        if args.max_steps and step >= args.max_steps:
+            break
+
+
+if __name__ == "__main__":
+    main()

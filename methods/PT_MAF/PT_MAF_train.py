@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""PT-MAF training entry point (reference ``methods/PT_MAF/PT_MAF_train.py``):
+fg/bg-separated hierarchical DA + knowledge distillation from a frozen
+source-only teacher (``--teacher_ckpt``, replacing the reference's hardcoded
+``ori_model`` path at ``PT_MAF_train.py:385``)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from common import (DATASET_MAP, MetricLogger,  # noqa: E402
+                    build_train_parser, resolve_config)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from tllod_tpu.data import DetectionLoader, combined_roidb  # noqa: E402
+from tllod_tpu.methods.pt_maf import (PTMAFModel, gt_footprint_mask,  # noqa: E402
+                                      pt_maf_kd_loss, pt_maf_loss)
+from tllod_tpu.models.faster_rcnn import FasterRCNN  # noqa: E402
+from tllod_tpu.models.rpn import rpn_probs  # noqa: E402
+from tllod_tpu.parallel.mesh import make_mesh, shard_batch  # noqa: E402
+from tllod_tpu.train import create_train_state, make_train_step  # noqa: E402
+from tllod_tpu.utils.checkpoint import (detector_params,  # noqa: E402
+                                        load_checkpoint, save_checkpoint)
+from tllod_tpu.utils.optim import make_sgd, step_decay_schedule  # noqa: E402
+from tllod_tpu.zoo import load_pretrained_backbone  # noqa: E402
+
+
+def main():
+    parser = build_train_parser("Train a PT-MAF network (TPU)")
+    parser.add_argument("--alpha", default=1.0, type=float)
+    parser.add_argument("--beta", default=1.0, type=float)
+    parser.add_argument("--gamma", default=1.0, type=float)
+    parser.add_argument("--tmp", default=3.0, type=float,
+                        help="KD temperature")
+    parser.add_argument("--high", default=0.7, type=float)
+    parser.add_argument("--low", default=0.1, type=float)
+    parser.add_argument("--teacher_ckpt", default=None, type=str,
+                        help="source-only Faster R-CNN checkpoint for KD")
+    args = parser.parse_args()
+    print("Called with args:", args)
+    cfg = resolve_config(args)
+    np.random.seed(cfg.RNG_SEED)
+
+    ds = DATASET_MAP[args.dataset]
+    s_ds, s_roidb, _, _ = combined_roidb(ds["s_imdb"])
+    t_ds, t_roidb, _, _ = combined_roidb(ds["t_imdb"])
+    s_loader = DetectionLoader(s_roidb, cfg, batch_size=args.batch_size,
+                               domain=1, seed=cfg.RNG_SEED)
+    t_loader = DetectionLoader(t_roidb, cfg, batch_size=args.batch_size,
+                               domain=0, seed=cfg.RNG_SEED + 1)
+
+    model = PTMAFModel(num_classes=s_ds.num_classes, cfg=cfg, net=args.net,
+                       class_agnostic=args.class_agnostic,
+                       temperature=args.tmp, high=args.high, low=args.low)
+    teacher = FasterRCNN(num_classes=s_ds.num_classes, cfg=cfg, net=args.net,
+                         class_agnostic=args.class_agnostic)
+
+    s_it, t_it = iter(s_loader), iter(t_loader)
+    src0, tgt0 = next(s_it), next(t_it)
+    params = model.init(
+        {"params": jax.random.PRNGKey(cfg.RNG_SEED),
+         "sampling": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        src0, tgt0, training=True)["params"]
+    params = load_pretrained_backbone(params, args.net,
+                                      subtree=("detector", "backbone"))
+
+    # frozen source-only teacher (reference PT_MAF_train.py:385-389)
+    if args.teacher_ckpt:
+        teacher_params = detector_params(
+            load_checkpoint(args.teacher_ckpt)["params"])
+        print(f"loaded teacher from {args.teacher_ckpt}")
+    else:
+        print("WARNING: --teacher_ckpt not given; teacher = student's "
+              "initial detector (KD term will be weak)")
+        teacher_params = jax.tree_util.tree_map(lambda x: x,
+                                                params["detector"])
+
+    steps_per_epoch = min(len(s_loader), len(t_loader))
+    schedule = step_decay_schedule(args.lr,
+                                   args.lr_decay_step * steps_per_epoch,
+                                   args.lr_decay_gamma)
+    tx = make_sgd(schedule, momentum=cfg.TRAIN.MOMENTUM,
+                  weight_decay=cfg.TRAIN.WEIGHT_DECAY,
+                  double_bias=cfg.TRAIN.DOUBLE_BIAS,
+                  bias_decay=cfg.TRAIN.BIAS_DECAY,
+                  clip_norm=10.0 if args.net == "vgg16" else None)
+    state = create_train_state(params, tx)
+    mesh = make_mesh() if args.m_chips else make_mesh(1)
+
+    stride = cfg.FEAT_STRIDE[0]
+    temperature = args.tmp
+
+    def teacher_kd(src, rois):
+        """Frozen teacher: temp-T RPN map + temp-T cls probs on the
+        student's sampled rois (reference faster_rcnn_kd.py:43-108)."""
+        def fwd(mdl):
+            base = mdl.features(src["im_data"])
+            rpn_cls, _ = mdl.rpn(base)
+            a = rpn_cls.shape[-1] // 2
+            logits = jnp.stack((rpn_cls[..., :a], rpn_cls[..., a:]), -1)
+            kd_rpn = jax.nn.softmax(logits / temperature, axis=-1)
+            pooled = mdl.roi_features(base, rois.reshape(-1, 5))
+            fc7 = mdl.box_head(pooled, deterministic=True)
+            cls_score, _ = mdl.box_outputs(fc7)
+            kd_cls = jax.nn.softmax(cls_score / temperature, axis=1)
+            return kd_rpn, kd_cls
+        return teacher.apply({"params": teacher_params}, method=fwd)
+
+    def apply_fn(p, rngs, src, tgt):
+        out = model.apply({"params": p}, src, tgt, training=True, rngs=rngs)
+        t_rpn, t_cls = jax.lax.stop_gradient(teacher_kd(src, out["rois"]))
+        h, w = out["kd_rpn_prob"].shape[1:3]
+        mask = gt_footprint_mask(src["gt_boxes"][0], h, w, stride)
+        out["kd_loss"] = pt_maf_kd_loss(out["kd_rpn_prob"], t_rpn,
+                                        out["kd_cls_prob"], t_cls,
+                                        out["rois_label"], mask)
+        return out
+
+    def loss_fn(out):
+        return pt_maf_loss(out, args.lamda, out["kd_loss"])
+
+    train_step = make_train_step(apply_fn, loss_fn, tx)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    logger = MetricLogger(args.disp_interval)
+
+    output_dir = os.path.join(args.save_dir, args.net, args.dataset)
+    os.makedirs(output_dir, exist_ok=True)
+
+    step = 0
+    for epoch in range(args.start_epoch, args.max_epochs + 1):
+        for _ in range(steps_per_epoch):
+            src = shard_batch(next(s_it), mesh)
+            tgt = shard_batch(next(t_it), mesh)
+            state, metrics = train_step(state, rng, src, tgt)
+            step += 1
+            logger.update(step, epoch, float(schedule(step)), metrics)
+            if args.max_steps and step >= args.max_steps:
+                break
+        save_checkpoint(
+            os.path.join(output_dir,
+                         f"pt_maf_{args.session}_{epoch}_{step}"),
+            params=state.params, opt_state=state.opt_state, step=step,
+            epoch=epoch, session=args.session,
+            meta={"pooling_mode": cfg.POOLING_MODE,
+                  "class_agnostic": args.class_agnostic})
+        print(f"saved checkpoint for epoch {epoch}")
+        if args.max_steps and step >= args.max_steps:
+            break
+
+
+if __name__ == "__main__":
+    main()

@@ -29,7 +29,8 @@ from tllod_tpu.zoo import load_pretrained_backbone
 
 def run_da_training(method_name: str, model_ctor: Callable,
                     loss_builder: Callable, args,
-                    extra_model_kwargs: Optional[dict] = None) -> None:
+                    extra_model_kwargs: Optional[dict] = None,
+                    extra_backbone_subtrees: tuple = ()) -> None:
     """model_ctor(num_classes, cfg, net, class_agnostic, **kw) → nn.Module
     with ``__call__(src, tgt, training=...)``; loss_builder(args) → fn(out).
     """
@@ -59,6 +60,11 @@ def run_da_training(method_name: str, model_ctor: Callable,
         src0, tgt0, training=True)["params"]
     params = load_pretrained_backbone(params, args.net,
                                       subtree=("detector", "backbone"))
+    for sub in extra_backbone_subtrees:
+        # e.g. ATF's ancillary branch starts as a copy of the pretrained
+        # backbone (reference lib/ATF/vgg16.py:48 deepcopy)
+        params = load_pretrained_backbone(params, args.net, subtree=sub,
+                                          head_subtree=("detector", "head"))
 
     steps_per_epoch = min(len(s_loader), len(t_loader))
     schedule = step_decay_schedule(args.lr,

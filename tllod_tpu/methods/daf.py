@@ -84,15 +84,12 @@ class DAFModel(nn.Module):
 
         # ---- target: unsupervised path, RPN under TEST config ----
         t_feat = det.features(tgt["im_data"])
-        t_rpn = det.rpn_rois(t_feat, tgt["im_info"], tgt["gt_boxes"],
-                             training=False, compute_loss=False)
-        t_rois = t_rpn["rois"]
-        t_n = t_rois.shape[1]
-        t_pooled = det.roi_features(t_feat,
-                                    t_rois.reshape(-1, 5))
-        t_fc7 = det.box_head(t_pooled, deterministic=deterministic)
+        t_out = det.forward_from_features(
+            t_feat, tgt["im_info"], tgt["gt_boxes"],
+            training=training, supervised=False)
         t_img_l, t_ins_l, t_cst_l = self._domain_terms(
-            t_feat, t_fc7, tgt["domain"], t_n,
+            t_feat, t_out["pooled_feat"], tgt["domain"],
+            t_out["rois"].shape[1],
             consistency_channel=0, deterministic=deterministic)
 
         out.update({

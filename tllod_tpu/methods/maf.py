@@ -52,8 +52,10 @@ class ImageDADRM(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feat):
-        x = grad_reverse(feat, self.alpha)
+    def __call__(self, feat, grl_scale=1.0):
+        # grl_scale: PT-MAF scales the GRL strength by the (traced) fg/bg
+        # pixel ratio (lib/PT_MAF/faster_rcnn.py:27-28: alpha = ratio * 0.1)
+        x = grad_reverse(feat, self.alpha * grl_scale)
         x = nn.Conv(self.inner, (1, 1), use_bias=False, dtype=self.dtype,
                     name="drm_conv")(x)
         x = nn.relu(x)
@@ -73,8 +75,8 @@ class ImageDAPlain(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feat):
-        x = grad_reverse(feat, self.alpha)
+    def __call__(self, feat, grl_scale=1.0):
+        x = grad_reverse(feat, self.alpha * grl_scale)
         x = nn.Conv(512, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
         x = nn.relu(x)
@@ -157,8 +159,9 @@ class MAFModel(nn.Module):
 
         # source: supervised path with pyramid taps
         s_taps = det.features(src["im_data"], return_taps=True)
-        out = self._detector_tail(src, s_taps, training=training,
-                                  supervised=True)
+        out = det.forward_from_features(
+            s_taps[-1], src["im_info"], src["gt_boxes"],
+            training=training, supervised=training)
         out["da_img_loss"] = self._image_losses(s_taps, src["domain"])
         out["da_ins_loss"] = self._instance_loss(
             out["pooled_feat"], out["cls_prob"].reshape(
@@ -166,65 +169,13 @@ class MAFModel(nn.Module):
 
         # target: unsupervised (RPN under TEST config)
         t_taps = det.features(tgt["im_data"], return_taps=True)
-        t_out = self._detector_tail(tgt, t_taps, training=training,
-                                    supervised=False)
+        t_out = det.forward_from_features(
+            t_taps[-1], tgt["im_info"], tgt["gt_boxes"],
+            training=training, supervised=False)
         out["tgt_da_img_loss"] = self._image_losses(t_taps, tgt["domain"])
         out["tgt_da_ins_loss"] = self._instance_loss(
             t_out["pooled_feat"], t_out["cls_prob"].reshape(
                 -1, self.num_classes), tgt["domain"])
-        return out
-
-    def _detector_tail(self, batch, taps, *, training: bool,
-                       supervised: bool) -> Dict[str, Any]:
-        """RPN → RoIs → head on the conv5 tap, with or without detection
-        losses (mirrors lib/MAF/faster_rcnn.py:59-131 / :132-176)."""
-        det = self.detector
-        base_feat = taps[-1]
-        b = batch["im_data"].shape[0]
-
-        rpn_out = det.rpn_rois(base_feat, batch["im_info"],
-                               batch["gt_boxes"],
-                               training=training and supervised,
-                               compute_loss=supervised)
-        rois = rpn_out["rois"]
-        out: Dict[str, Any] = {
-            "rpn_loss_cls": rpn_out["rpn_loss_cls"],
-            "rpn_loss_box": rpn_out["rpn_loss_box"],
-            "rcnn_loss_cls": jnp.float32(0.0),
-            "rcnn_loss_box": jnp.float32(0.0),
-            "rois_label": None,
-        }
-
-        samples = None
-        if training and supervised:
-            samples = proposal_target(rois, batch["gt_boxes"], self.cfg,
-                                      self.make_rng("sampling"))
-            rois = samples.rois
-
-        n = rois.shape[1]
-        pooled = det.roi_features(base_feat, rois.reshape(-1, 5))
-        fc7 = det.box_head(pooled, deterministic=not training)
-        cls_score, bbox_pred = det.box_outputs(fc7)
-        cls_prob = jax.nn.softmax(cls_score, axis=1)
-
-        if training and supervised:
-            labels = samples.labels.reshape(-1)
-            if not self.class_agnostic:
-                bp = bbox_pred.reshape(bbox_pred.shape[0], -1, 4)
-                bbox_pred = jnp.take_along_axis(
-                    bp, labels[:, None, None].astype(jnp.int32),
-                    axis=1)[:, 0, :]
-            out["rcnn_loss_cls"] = softmax_cross_entropy(cls_score, labels)
-            out["rcnn_loss_box"] = smooth_l1_loss(
-                bbox_pred, samples.bbox_targets.reshape(-1, 4),
-                samples.in_weights.reshape(-1, 4),
-                samples.out_weights.reshape(-1, 4))
-            out["rois_label"] = labels
-
-        out["rois"] = rois
-        out["pooled_feat"] = fc7
-        out["cls_prob"] = cls_prob.reshape(b, n, -1)
-        out["bbox_pred"] = bbox_pred.reshape(b, n, -1)
         return out
 
 

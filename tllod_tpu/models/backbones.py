@@ -46,9 +46,18 @@ class VGG16Features(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, return_taps: bool = False):
+    def __call__(self, x, *, return_taps: bool = False,
+                 stage_range: tuple = (0, 5)):
+        """``stage_range=(lo, hi)`` runs conv blocks [lo, hi) only — IDF
+        interleaves cross-branch attention between blocks
+        (``lib/IDF/faster_rcnn.py:61-101``), so branch stages must be
+        callable separately; params are created per-stage on first use and
+        shared across invocations."""
+        lo, hi = stage_range
         taps = []
         for bi, (ch, n_convs) in enumerate(_VGG_BLOCKS):
+            if not (lo <= bi < hi):
+                continue
             if bi > 0:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             for ci in range(n_convs):

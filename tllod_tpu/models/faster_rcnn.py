@@ -75,13 +75,17 @@ class FasterRCNN(nn.Module):
             feat_h, feat_w, self.cfg.FEAT_STRIDE[0], self._base_anchors))
 
     def rpn_rois(self, base_feat, im_info, gt_boxes, *, training: bool,
-                 compute_loss: bool = True) -> Dict[str, Any]:
+                 compute_loss: bool = True,
+                 post_nms_top_n: Optional[int] = None) -> Dict[str, Any]:
         """RPN head + proposal layer (+ anchor targets & losses in training).
 
         ``training`` selects the TRAIN/TEST proposal params exactly like the
         reference's ``cfg_key`` (``rpn.py:75``); DAF-style target-domain
         passes call with ``training=False, compute_loss=False`` to reproduce
         ``RCNN_rpn.eval()`` on target images (``lib/DAF/faster_rcnn.py:140``).
+        ``post_nms_top_n`` overrides the config value — the immutable-config
+        form of ATF's runtime ``cfg.TEST.RPN_POST_NMS_TOP_N`` mutation
+        (``lib/ATF/faster_rcnn.py:260``).
         """
         cfg = self.cfg
         rcfg = cfg.rpn_cfg(training)
@@ -92,7 +96,7 @@ class FasterRCNN(nn.Module):
         props = proposal_layer(
             fg_prob, bbox_pred, im_info, anchors,
             pre_nms_top_n=rcfg.RPN_PRE_NMS_TOP_N,
-            post_nms_top_n=rcfg.RPN_POST_NMS_TOP_N,
+            post_nms_top_n=post_nms_top_n or rcfg.RPN_POST_NMS_TOP_N,
             nms_thresh=rcfg.RPN_NMS_THRESH)
 
         out = {"rois": props.rois, "rois_valid": props.valid,
@@ -144,59 +148,92 @@ class FasterRCNN(nn.Module):
 
     # ---- full forward (reference _fasterRCNN.forward) ----
 
-    def __call__(self, im_data, im_info, gt_boxes, *,
-                 training: bool = False) -> Dict[str, Any]:
+    def head_losses(self, fc7, samples: RoiSamples) -> Dict[str, Any]:
+        """Box head outputs + RCNN losses for sampled RoIs (reference
+        ``faster_rcnn.py:90-109``)."""
+        cls_score, bbox_pred = self.box_outputs(fc7)
+        labels = samples.labels.reshape(-1)
+        if not self.class_agnostic:
+            # Pick the 4 regression columns of each RoI's class
+            # (reference faster_rcnn.py:91-95).
+            bp = bbox_pred.reshape(bbox_pred.shape[0], -1, 4)
+            bbox_pred = jnp.take_along_axis(
+                bp, labels[:, None, None].astype(jnp.int32), axis=1)[:, 0, :]
+        return {
+            "cls_score": cls_score,
+            "cls_prob": jax.nn.softmax(cls_score, axis=1),
+            "bbox_pred": bbox_pred,
+            "rcnn_loss_cls": softmax_cross_entropy(cls_score, labels),
+            "rcnn_loss_box": smooth_l1_loss(
+                bbox_pred, samples.bbox_targets.reshape(-1, 4),
+                samples.in_weights.reshape(-1, 4),
+                samples.out_weights.reshape(-1, 4)),
+            "rois_label": labels,
+        }
+
+    def forward_from_features(self, base_feat, im_info, gt_boxes, *,
+                              training: bool,
+                              supervised: Optional[bool] = None,
+                              post_nms_top_n: Optional[int] = None
+                              ) -> Dict[str, Any]:
+        """RPN → (sampling) → RoI features → head → losses, given a feature
+        map. Method wrappers call this per backbone branch.
+
+        ``training`` controls dropout; ``supervised`` (defaults to
+        ``training``) controls the RPN config key, target sampling and
+        losses — DA target passes use ``training=True, supervised=False``,
+        reproducing the reference's "model.train() but RCNN_rpn.eval()"
+        (``lib/DAF/faster_rcnn.py:140``: dropout stays active on the target
+        head).
+        """
         cfg = self.cfg
-        b = im_data.shape[0]
-        base_feat = self.features(im_data)
+        if supervised is None:
+            supervised = training
+        b = base_feat.shape[0]
         rpn_out = self.rpn_rois(base_feat, im_info, gt_boxes,
-                                training=training)
+                                training=supervised, compute_loss=supervised,
+                                post_nms_top_n=post_nms_top_n)
         rois = rpn_out["rois"]
 
+        out: Dict[str, Any] = {
+            "base_feat": base_feat,
+            "rpn_rois": rois,
+            "rois_valid": rpn_out["rois_valid"],
+            "rpn_loss_cls": rpn_out["rpn_loss_cls"],
+            "rpn_loss_box": rpn_out["rpn_loss_box"],
+            "rpn_cls_prob": rpn_out["rpn_cls_prob"],
+            "rcnn_loss_cls": jnp.float32(0.0),
+            "rcnn_loss_box": jnp.float32(0.0),
+            "rois_label": None,
+        }
+
         samples: Optional[RoiSamples] = None
-        if training:
+        if supervised:
             samples = proposal_target(rois, gt_boxes, cfg,
                                       self.make_rng("sampling"))
             rois = samples.rois
 
         n_rois = rois.shape[1]
-        flat_rois = rois.reshape(b * n_rois, 5)
-        pooled = self.roi_features(base_feat, flat_rois)
+        pooled = self.roi_features(base_feat, rois.reshape(b * n_rois, 5))
         fc7 = self.box_head(pooled, deterministic=not training)
-        cls_score, bbox_pred = self.box_outputs(fc7)
-        cls_prob = jax.nn.softmax(cls_score, axis=1)
+        out["rois"] = rois
+        out["pooled_feat"] = fc7
 
-        out = {
-            "rois": rois,
-            "base_feat": base_feat,
-            "rois_valid": rpn_out["rois_valid"],
-            "rpn_loss_cls": rpn_out["rpn_loss_cls"],
-            "rpn_loss_box": rpn_out["rpn_loss_box"],
-            "rcnn_loss_cls": jnp.float32(0.0),
-            "rcnn_loss_box": jnp.float32(0.0),
-            "pooled_feat": fc7,
-            "rois_label": None,
-        }
-
-        if training:
-            labels = samples.labels.reshape(-1)
-            if not self.class_agnostic:
-                # Pick the 4 regression columns of each RoI's class
-                # (reference faster_rcnn.py:91-95).
-                bp = bbox_pred.reshape(bbox_pred.shape[0], -1, 4)
-                bbox_pred = jnp.take_along_axis(
-                    bp, labels[:, None, None].astype(jnp.int32), axis=1
-                )[:, 0, :]
-            out["rcnn_loss_cls"] = softmax_cross_entropy(cls_score, labels)
-            out["rcnn_loss_box"] = smooth_l1_loss(
-                bbox_pred, samples.bbox_targets.reshape(-1, 4),
-                samples.in_weights.reshape(-1, 4),
-                samples.out_weights.reshape(-1, 4))
-            out["rois_label"] = labels
-
+        if supervised:
+            out.update(self.head_losses(fc7, samples))
+            cls_prob, bbox_pred = out["cls_prob"], out["bbox_pred"]
+        else:
+            cls_score, bbox_pred = self.box_outputs(fc7)
+            cls_prob = jax.nn.softmax(cls_score, axis=1)
         out["cls_prob"] = cls_prob.reshape(b, n_rois, -1)
         out["bbox_pred"] = bbox_pred.reshape(b, n_rois, -1)
         return out
+
+    def __call__(self, im_data, im_info, gt_boxes, *,
+                 training: bool = False) -> Dict[str, Any]:
+        base_feat = self.features(im_data)
+        return self.forward_from_features(base_feat, im_info, gt_boxes,
+                                          training=training)
 
 
 def detection_loss(out: Dict[str, Any]) -> jnp.ndarray:
