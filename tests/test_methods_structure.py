@@ -1,0 +1,112 @@
+"""Structural checks for every method model — param subtrees, shapes, and
+the detector-subset restore contract. Uses jax.eval_shape so no XLA
+compilation happens (fast on the 1-core CI host); numerical smoke coverage
+lives in test_graft_and_daf.py and the verify drives."""
+
+import jax
+import numpy as np
+import pytest
+
+import __graft_entry__ as ge
+from tllod_tpu.methods.atf import ATFModel
+from tllod_tpu.methods.daf import DAFModel
+from tllod_tpu.methods.idf import IDFModel
+from tllod_tpu.methods.mad import MADModel
+from tllod_tpu.methods.maf import MAFModel
+from tllod_tpu.methods.pa_atf import PAATFModel
+from tllod_tpu.methods.pt_maf import PTMAFModel
+from tllod_tpu.methods.us_daf import USDAFModel
+from tllod_tpu.models.faster_rcnn import FasterRCNN
+from tllod_tpu.utils.checkpoint import detector_params, restore_into
+
+CASES = [
+    (DAFModel, "vgg16", {"detector", "img_da", "ins_da"}),
+    (MAFModel, "vgg16", {"detector", "img_da3", "img_da4", "img_da5",
+                         "ins_da"}),
+    (ATFModel, "vgg16", {"detector", "backbone_anc", "img_da3", "img_da4",
+                         "img_da5", "ins_da"}),
+    (PTMAFModel, "vgg16", {"detector", "img_da3_f", "img_da4_f", "img_da5_f",
+                           "img_da3_b", "img_da4_b", "img_da5_b", "ins_da"}),
+    (PAATFModel, "vgg16", {"detector", "backbone_anc", "img_da3", "img_da4",
+                           "img_da5", "ins_da", "club3", "club4", "club5"}),
+    (USDAFModel, "res50", {"detector", "img_da", "ins_da"}),
+    (MADModel, "vgg16", None),   # many subtrees; checked via superset below
+    (IDFModel, "vgg16", None),
+]
+
+
+def _batches():
+    # large enough that PA-ATF's strided mask convs keep nonzero extent
+    # (its conv5x5s3 → pool2s2 → conv3x3s2 VALID stack needs a stride-16
+    # map of ≥ 20 pixels per side)
+    src = ge._make_batch(1, 384, 512, domain=1, seed=0)
+    tgt = ge._make_batch(1, 384, 512, domain=0, seed=1)
+    src["separation"] = np.zeros((1,), np.float32)
+    return src, tgt
+
+
+@pytest.mark.parametrize("model_cls,net,subtrees",
+                         CASES, ids=[c[0].__name__ for c in CASES])
+def test_method_param_structure(model_cls, net, subtrees):
+    cfg = ge._tiny_cfg(post_train=16, post_test=8, pre=64, roi_batch=8)
+    model = model_cls(num_classes=9, cfg=cfg, net=net)
+    src, tgt = _batches()
+    variables = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "sampling": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2)}, src, tgt, training=True))
+    params = variables["params"]
+    assert "detector" in params
+    if subtrees is not None:
+        assert set(params.keys()) == subtrees, sorted(params.keys())
+    # every method keeps the full detector intact: the vanilla eval model's
+    # params restore from the method checkpoint's detector subtree
+    # (the reference's filtered state_dict trick, DAF_test.py:194)
+    det = FasterRCNN(num_classes=9, cfg=cfg, net=net)
+    det_template = jax.eval_shape(
+        lambda: det.init(
+            {"params": jax.random.PRNGKey(0),
+             "sampling": jax.random.PRNGKey(1)},
+            src["im_data"], src["im_info"], src["gt_boxes"],
+            training=False))["params"]
+    restored = restore_into(det_template, detector_params(params))
+    assert jax.tree_util.tree_structure(restored) == \
+        jax.tree_util.tree_structure(det_template)
+
+
+def test_mad_subtree_superset():
+    cfg = ge._tiny_cfg(post_train=16, post_test=8, pre=64, roi_batch=8)
+    model = MADModel(num_classes=9, cfg=cfg)
+    src, tgt = _batches()
+    params = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "sampling": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2)}, src, tgt,
+            training=True))["params"]
+    want = {"detector", "img_da", "ins_da", "ln_img", "ln_ins"}
+    for v in (1, 2, 3):
+        want |= {f"img_enc{v}", f"img_dec{v}", f"img_da_en{v}",
+                 f"ins_enc{v}", f"ins_dec{v}", f"ins_da_en{v}"}
+    assert set(params.keys()) == want
+
+
+def test_idf_subtrees():
+    cfg = ge._tiny_cfg(post_train=16, post_test=8, pre=64, roi_batch=8)
+    model = IDFModel(num_classes=9, cfg=cfg)
+    src, tgt = _batches()
+    params = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "sampling": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2)}, src, tgt,
+            training=True))["params"]
+    want = {"detector", "backbone_b", "netd_1", "netd_1_b", "netd_2",
+            "netd_2_b", "netd_3", "netd_3_b", "netd_da", "rpn_aux",
+            "head_aux", "cls_score_aux", "bbox_pred_aux"}
+    assert set(params.keys()) == want
+    # dual branch shares conv names with the detector backbone (shared-init
+    # deepcopy contract)
+    assert set(params["backbone_b"].keys()) == \
+        set(params["detector"]["backbone"].keys())

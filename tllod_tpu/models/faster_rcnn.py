@@ -137,8 +137,13 @@ class FasterRCNN(nn.Module):
         if cfg.POOLING_MODE == "pool":
             return roi_pool(base_feat, rois, out_size=cfg.POOLING_SIZE,
                             spatial_scale=scale)
-        raise NotImplementedError(
-            f"POOLING_MODE={cfg.POOLING_MODE!r} (shipped configs use 'align')")
+        if cfg.POOLING_MODE == "crop":
+            from tllod_tpu.ops.roi_crop import roi_crop
+            grid = (cfg.POOLING_SIZE * 2 if cfg.CROP_RESIZE_WITH_MAX_POOL
+                    else cfg.POOLING_SIZE)
+            return roi_crop(base_feat, rois, grid_size=grid,
+                            max_pool=cfg.CROP_RESIZE_WITH_MAX_POOL)
+        raise ValueError(f"unknown POOLING_MODE={cfg.POOLING_MODE!r}")
 
     def box_head(self, pooled, *, deterministic: bool = True):
         return self.head(pooled, deterministic=deterministic)
