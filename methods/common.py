@@ -55,7 +55,12 @@ def build_train_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--checksession", default=1, type=int)
     p.add_argument("--checkepoch", default=1, type=int)
     p.add_argument("--checkpoint", default=0, type=int)
-    p.add_argument("--use_tfb", dest="use_tfboard", action="store_true")
+    p.add_argument("--use_tfb", dest="use_tfboard", action="store_true",
+                   help="write per-interval scalar metrics to a JSONL file "
+                        "(replaces the reference's optional tensorboardX)")
+    p.add_argument("--profile", default=0, type=int,
+                   help="capture a jax.profiler trace of N steady-state "
+                        "steps into <save_dir>/profile")
     p.add_argument("--max_steps", default=0, type=int,
                    help="optional hard step cap (0 = full epochs)")
     p.add_argument("--set", dest="set_cfgs", nargs="*", default=None,
@@ -136,13 +141,16 @@ def resolve_config(args, *, training: bool = True) -> Config:
 
 
 class MetricLogger:
-    """disp_interval loss printing (reference ``DAF_train.py:410-446``)."""
+    """disp_interval loss printing (reference ``DAF_train.py:410-446``),
+    optionally mirrored to a JSONL metrics file (the reference's optional
+    tensorboardX scalars, ``DAF_train.py:438-446``)."""
 
-    def __init__(self, interval: int):
+    def __init__(self, interval: int, jsonl_path: Optional[str] = None):
         self.interval = interval
         self.t0 = time.time()
         self.acc: Dict[str, float] = {}
         self.n = 0
+        self.jsonl = open(jsonl_path, "a") if jsonl_path else None
 
     def update(self, step: int, epoch: int, lr: float,
                metrics: Dict) -> None:
@@ -159,4 +167,33 @@ class MetricLogger:
             print(f"[session] epoch {epoch:2d} step {step:6d} "
                   f"lr {lr:.2e} time/iter {dt / self.n:.3f}s{fg_str} | "
                   f"{parts}", flush=True)
+            if self.jsonl:
+                import json
+                rec = {"step": step, "epoch": epoch, "lr": lr,
+                       "time_per_iter": dt / self.n, **avg}
+                self.jsonl.write(json.dumps(rec) + "\n")
+                self.jsonl.flush()
             self.acc, self.n, self.t0 = {}, 0, time.time()
+
+
+class StepProfiler:
+    """Capture a jax.profiler trace for steps [start, start+n)."""
+
+    def __init__(self, out_dir: str, n_steps: int, start: int = 10):
+        self.out_dir = out_dir
+        self.start = start
+        self.stop_at = start + n_steps
+        self.active = False
+
+    def tick(self, step: int) -> None:
+        import jax
+        if step == self.start:
+            os.makedirs(self.out_dir, exist_ok=True)
+            jax.profiler.start_trace(self.out_dir)
+            self.active = True
+            print(f"[profile] tracing steps {self.start}..{self.stop_at} "
+                  f"-> {self.out_dir}")
+        elif step == self.stop_at and self.active:
+            jax.profiler.stop_trace()
+            self.active = False
+            print("[profile] trace written")

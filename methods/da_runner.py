@@ -96,7 +96,15 @@ def run_da_training(method_name: str, model_ctor: Callable,
 
     train_step = make_train_step(apply_fn, loss_builder(args), tx)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
-    logger = MetricLogger(args.disp_interval)
+    logger = MetricLogger(
+        args.disp_interval,
+        jsonl_path=(os.path.join(output_dir, "metrics.jsonl")
+                    if args.use_tfboard else None))
+    profiler = None
+    if getattr(args, "profile", 0):
+        from common import StepProfiler
+        profiler = StepProfiler(os.path.join(output_dir, "profile"),
+                                args.profile)
 
     step = 0
     for epoch in range(args.start_epoch, args.max_epochs + 1):
@@ -105,6 +113,8 @@ def run_da_training(method_name: str, model_ctor: Callable,
             tgt = shard_batch(next(t_it), mesh)
             state, metrics = train_step(state, rng, src, tgt)
             step += 1
+            if profiler is not None:
+                profiler.tick(step)
             logger.update(step, epoch, float(schedule(step)), metrics)
             if args.max_steps and step >= args.max_steps:
                 break
