@@ -80,11 +80,15 @@ def main():
         state, metrics = step(state, rng, src, tgt)
         float(metrics["loss"])
 
+    # Steady state: dispatch the whole chain, then fetch ONE scalar — each
+    # step depends on the previous step's params, so the final loss fetch
+    # forces every step; the ~27 ms tunnel RPC amortizes across the run
+    # (it would amortize identically in a real training loop).
     n_steps = 30
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step(state, rng, src, tgt)
-        float(metrics["loss"])  # per-step sync: honest steady-state timing
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     images_per_sec = n_steps * 2 * b / dt  # source + target per step

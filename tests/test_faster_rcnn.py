@@ -108,3 +108,25 @@ def test_resnet_variant_init():
         im, info, gt, training=False)
     out = model.apply(variables, im, info, gt, training=False)
     assert out["cls_prob"].shape == (1, cfg.TEST.RPN_POST_NMS_TOP_N, 4)
+
+
+def test_no_grad_leak_through_proposals(setup):
+    # Proposals are constants (reference feeds .data through the proposal
+    # layer): the RCNN head losses must produce ZERO gradient on the RPN
+    # convs — only the RPN's own losses train it.
+    cfg, model, params, (im, info, gt) = setup
+
+    def rcnn_only_loss(p):
+        out = model.apply({"params": p}, im, info, gt, training=True,
+                          rngs={"sampling": jax.random.PRNGKey(2),
+                                "dropout": jax.random.PRNGKey(3)})
+        return out["rcnn_loss_cls"] + out["rcnn_loss_box"]
+
+    grads = jax.grad(rcnn_only_loss)(params)
+    rpn_grad = sum(float(jnp.abs(g).sum())
+                   for g in jax.tree_util.tree_leaves(grads["rpn"]))
+    assert rpn_grad == 0.0
+    # the backbone still learns through RoIAlign
+    bb_grad = sum(float(jnp.abs(g).sum())
+                  for g in jax.tree_util.tree_leaves(grads["backbone"]))
+    assert bb_grad > 0.0

@@ -111,7 +111,12 @@ def proposal_layer(fg_prob: jnp.ndarray, bbox_deltas: jnp.ndarray,
     batch_col = jnp.broadcast_to(
         jnp.arange(b, dtype=boxes.dtype)[:, None, None],
         (b, post_nms_top_n, 1))
-    return Proposals(jnp.concatenate([batch_col, boxes], axis=-1), valid)
+    rois = jnp.concatenate([batch_col, boxes], axis=-1)
+    # Proposals are training CONSTANTS (the reference feeds `.data` tensors
+    # through the proposal layer, rpn.py:77): no gradient may flow from the
+    # box head back into the RPN deltas through the decoded coordinates.
+    # This also prunes an expensive NMS/top-k backward from the train graph.
+    return Proposals(jax.lax.stop_gradient(rois), valid)
 
 
 def _rank_of(priority: jnp.ndarray) -> jnp.ndarray:
