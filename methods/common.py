@@ -45,6 +45,9 @@ def build_train_parser(description: str) -> argparse.ArgumentParser:
                    help="shard the batch over all available chips")
     p.add_argument("--bs", dest="batch_size", default=1, type=int)
     p.add_argument("--cag", dest="class_agnostic", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute for backbone/heads (losses and "
+                        "box decode stay f32)")
     p.add_argument("--o", dest="optimizer", default="sgd", type=str)
     p.add_argument("--lr", default=0.002, type=float)
     p.add_argument("--lr_decay_step", default=6, type=int)

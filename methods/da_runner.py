@@ -48,8 +48,11 @@ def run_da_training(method_name: str, model_ctor: Callable,
     t_loader = DetectionLoader(t_roidb, cfg, batch_size=args.batch_size,
                                domain=0, seed=cfg.RNG_SEED + 1)
 
+    import jax.numpy as jnp
     model = model_ctor(num_classes=s_ds.num_classes, cfg=cfg, net=args.net,
                        class_agnostic=args.class_agnostic,
+                       dtype=(jnp.bfloat16 if getattr(args, "bf16", False)
+                              else jnp.float32),
                        **(extra_model_kwargs or {}))
 
     s_it, t_it = iter(s_loader), iter(t_loader)

@@ -61,3 +61,38 @@ def print_eval(aps: Dict[str, float]) -> None:
         if k != "mAP":
             print(f"AP for {k} = {v:.4f}")
     print(f"Mean AP = {aps['mAP']:.4f}")
+
+
+def evaluate_recall(roidb: Sequence[dict], candidate_boxes: Sequence,
+                    thresholds: Sequence[float] = None,
+                    limit: int = None) -> Dict[str, object]:
+    """Proposal recall metrics (reference ``imdb.evaluate_recall``,
+    ``lib/datasets/imdb.py:143-194``): for each image, the best-candidate
+    IoU per gt box, reduced to recall at a threshold sweep.
+
+    candidate_boxes[i]: (N_i, 4) proposals for image i (0-based xyxy).
+    """
+    from tllod_tpu.native import bbox_overlaps
+
+    gt_overlaps = []
+    for entry, boxes in zip(roidb, candidate_boxes):
+        gt = entry["boxes"]
+        if len(gt) == 0:
+            continue
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        if limit is not None:
+            boxes = boxes[:limit]
+        if len(boxes) == 0:
+            gt_overlaps.append(np.zeros(len(gt), np.float32))
+            continue
+        ov = bbox_overlaps(np.asarray(gt, np.float32), boxes)
+        gt_overlaps.append(ov.max(axis=1))
+    gt_overlaps = (np.concatenate(gt_overlaps)
+                   if gt_overlaps else np.zeros(0, np.float32))
+    if thresholds is None:
+        thresholds = np.arange(0.5, 0.95 + 1e-5, 0.05)
+    recalls = np.array([(gt_overlaps >= t).mean() if len(gt_overlaps) else 0.0
+                        for t in thresholds])
+    return {"ar": float(recalls.mean()), "recalls": recalls,
+            "thresholds": np.asarray(thresholds),
+            "gt_overlaps": gt_overlaps}

@@ -40,7 +40,7 @@ def image_da_loss(logits: jnp.ndarray, domain: jnp.ndarray) -> jnp.ndarray:
     """Mean 2-class NLL against the broadcast domain label (reference
     ``lib/DAF/faster_rcnn.py:181-185``). logits: (B, H, W, 2); domain: (B,)
     in {0, 1}."""
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     is_src = (domain > 0)[:, None, None]
     picked = jnp.where(is_src, logp[..., 1], logp[..., 0])
     return -picked.mean()

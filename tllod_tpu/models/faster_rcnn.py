@@ -90,6 +90,10 @@ class FasterRCNN(nn.Module):
         cfg = self.cfg
         rcfg = cfg.rpn_cfg(training)
         cls_score, bbox_pred = self.rpn(base_feat)
+        # box decode + losses always in f32 (mixed-precision boundary:
+        # backbone/head compute may be bf16, softmax/log/exp must not be)
+        cls_score = cls_score.astype(jnp.float32)
+        bbox_pred = bbox_pred.astype(jnp.float32)
         fg_prob, logits = rpn_probs(cls_score)
 
         anchors = self.anchors_for(base_feat.shape[1], base_feat.shape[2])
@@ -149,7 +153,9 @@ class FasterRCNN(nn.Module):
         return self.head(pooled, deterministic=deterministic)
 
     def box_outputs(self, fc7):
-        return self.cls_score(fc7), self.bbox_pred(fc7)
+        # f32 logits/deltas regardless of the compute dtype (loss boundary)
+        return (self.cls_score(fc7).astype(jnp.float32),
+                self.bbox_pred(fc7).astype(jnp.float32))
 
     # ---- full forward (reference _fasterRCNN.forward) ----
 

@@ -44,7 +44,8 @@ def softmax_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
     """Mean softmax cross-entropy over (N, C) logits and (N,) int labels,
     optionally masked by (N,) ``weights`` (mean over the weighted entries —
     the static-shape form of the reference's ``index_select`` + CE on the
-    kept RPN anchors, ``rpn.py:93-97``)."""
+    kept RPN anchors, ``rpn.py:93-97``). Always computed in f32."""
+    logits = logits.astype(jnp.float32)
     nll = _logsumexp(logits) - jnp.take_along_axis(
         logits, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
     if weights is None:
@@ -59,7 +60,7 @@ def binary_cross_entropy(probs: jnp.ndarray, labels: jnp.ndarray,
     """Mean BCE on probabilities (reference uses ``nn.BCELoss`` on sigmoid
     outputs for the instance-level domain classifiers, ``lib/DAF/
     faster_rcnn.py:188-189``)."""
-    p = jnp.clip(probs, eps, 1.0 - eps)
+    p = jnp.clip(probs.astype(jnp.float32), eps, 1.0 - eps)
     loss = -(labels * jnp.log(p) + (1.0 - labels) * jnp.log(1.0 - p))
     if weights is None:
         return loss.mean()

@@ -100,7 +100,10 @@ def convert_resnet(sd, depth: int) -> Tuple[dict, dict]:
     for stage in (1, 2, 3):
         for i in range(stages[stage - 1]):
             backbone[f"layer{stage}_{i}"] = block(stage, i)
-    head = {f"layer4_{i}": block(4, i) for i in range(stages[3])}
+    if "layer4.0.conv1.weight" in sd:
+        head = {f"layer4_{i}": block(4, i) for i in range(stages[3])}
+    else:
+        head = None  # feature-extractor-only state dict
     return backbone, head
 
 
@@ -166,6 +169,8 @@ def load_pretrained_backbone(params: dict, net: str, *,
         node = node[p]
     backbone = _cast_like(node, backbone)
     params = _set_subtree(params, subtree, backbone)
+    if head is None:
+        return params
     node = params
     for p in head_subtree:
         node = node[p]
