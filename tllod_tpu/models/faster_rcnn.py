@@ -132,10 +132,18 @@ class FasterRCNN(nn.Module):
 
     def roi_features(self, base_feat, rois):
         """Pool RoI features by cfg.POOLING_MODE (reference
-        ``faster_rcnn.py:73-84``); rois is (R, 5) flattened over batch."""
+        ``faster_rcnn.py:73-84``); rois is (R, 5) flattened over batch.
+        ``TLLOD_PALLAS=1`` selects the Pallas RoIAlign forward (feature map
+        resident in VMEM) — numerically identical, XLA backward."""
+        import os
         cfg = self.cfg
         scale = 1.0 / cfg.FEAT_STRIDE[0]
         if cfg.POOLING_MODE == "align":
+            if os.environ.get("TLLOD_PALLAS") == "1":
+                from tllod_tpu.ops.roi_align_pallas import roi_align_avg_pallas
+                return roi_align_avg_pallas(base_feat, rois,
+                                            out_size=cfg.POOLING_SIZE,
+                                            spatial_scale=scale)
             return roi_align_avg(base_feat, rois, out_size=cfg.POOLING_SIZE,
                                  spatial_scale=scale)
         if cfg.POOLING_MODE == "pool":

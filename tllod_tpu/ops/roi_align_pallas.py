@@ -1,0 +1,150 @@
+"""Pallas TPU kernel for RoIAlign (legacy fence-post semantics).
+
+Same math as :mod:`tllod_tpu.ops.roi_align` — one bilinear sample per bin,
+``bin = (extent+1)/(P-1)``, zero outside the image, neighborhood anchored at
+``min(floor(h), H-2)`` (reference CUDA kernel ``roi_align_kernel.cu:15-70``)
+— but expressed as a Pallas kernel that keeps the whole feature map resident
+in VMEM (a stride-16 VGG map is ~5.7 MB, well under the ~16 MB budget) and
+walks one RoI per grid step, issuing one (2, 2, C) dynamic-slice load per
+sample point. This avoids re-streaming the map from HBM for every RoI the
+way a gather formulation can under unlucky XLA scheduling.
+
+Forward-only: training wraps it in ``jax.custom_vjp`` with the XLA gather
+formulation as the backward (the two forwards are numerically identical, so
+the VJP is exact). Opt in with ``TLLOD_PALLAS=1`` (see
+``FasterRCNN.roi_features``); the XLA path remains the default until the
+kernel has soak time on real chips.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tllod_tpu.ops.roi_align import roi_align as _xla_roi_align
+
+
+def _kernel(rois_ref, feat_ref, out_ref, *, p: int, spatial_scale: float,
+            height: int, width: int):
+    """One RoI per grid step. rois_ref: (R, 8) f32 in SMEM;
+    feat_ref: (H*W, C) VMEM (flattened — Mosaic supports dynamic sublane
+    slices on 2-D refs only); out_ref block: (1, p*p, C) VMEM."""
+    i = pl.program_id(1)
+    x1 = rois_ref[i, 1] * spatial_scale
+    y1 = rois_ref[i, 2] * spatial_scale
+    x2 = rois_ref[i, 3] * spatial_scale
+    y2 = rois_ref[i, 4] * spatial_scale
+    roi_w = jnp.maximum(x2 - x1 + 1.0, 0.0)
+    roi_h = jnp.maximum(y2 - y1 + 1.0, 0.0)
+    bin_w = roi_w / (p - 1.0)
+    bin_h = roi_h / (p - 1.0)
+
+    def point(idx, _):
+        ph = idx // p
+        pw = idx % p
+        hh = ph.astype(jnp.float32) * bin_h + y1
+        ww = pw.astype(jnp.float32) * bin_w + x1
+        inside = ((hh >= 0.0) & (hh < height) & (ww >= 0.0) & (ww < width))
+        y0 = jnp.minimum(jnp.floor(hh), height - 2.0)
+        x0 = jnp.minimum(jnp.floor(ww), width - 2.0)
+        hr = hh - y0
+        wr = ww - x0
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, height - 2)
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, width - 2)
+        base = y0i * width + x0i
+        top = feat_ref[pl.ds(base, 2), :]            # rows (y0,x0), (y0,x0+1)
+        bot = feat_ref[pl.ds(base + width, 2), :]    # rows (y0+1, ·)
+        val = (top[0] * (1.0 - hr) * (1.0 - wr) + top[1] * (1.0 - hr) * wr
+               + bot[0] * hr * (1.0 - wr) + bot[1] * hr * wr)
+        val = jnp.where(inside, val, 0.0)
+        out_ref[0, idx, :] = val
+        return 0
+
+    jax.lax.fori_loop(0, p * p, point, 0, unroll=True)
+
+
+def _pallas_forward(feat: jnp.ndarray, rois: jnp.ndarray, *, out_size: int,
+                    spatial_scale: float, interpret: bool = False
+                    ) -> jnp.ndarray:
+    """feat: (H, W, C) single image; rois: (R, 5). Returns (R, P, P, C)."""
+    h, w, c = feat.shape
+    r = rois.shape[0]
+    rois_padded = jnp.concatenate(
+        [rois.astype(jnp.float32),
+         jnp.zeros((r, 3), jnp.float32)], axis=1)        # (R, 8) lane-pad
+
+    # Channel-blocked grid (cb, roi): the (H*W, CB) map slice stays resident
+    # in VMEM across the whole roi sweep of one channel block (constant
+    # index_map in the fast dim), bounding VMEM at ~2×(H·W·CB·4B).
+    c_block = c
+    while h * w * c_block * feat.dtype.itemsize > 2 * 1024 * 1024 \
+            and c_block % 2 == 0 and c_block > 128:
+        c_block //= 2
+    n_cb = c // c_block
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, p=out_size, spatial_scale=spatial_scale,
+                          height=h, width=w),
+        grid=(n_cb, r),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # rois (scalars)
+            pl.BlockSpec((h * w, c_block), lambda cb, i: (0, cb),
+                         memory_space=pltpu.VMEM),       # map slice on-chip
+        ],
+        out_specs=pl.BlockSpec((1, out_size * out_size, c_block),
+                               lambda cb, i: (i, 0, cb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, out_size * out_size, c),
+                                       feat.dtype),
+        interpret=interpret,
+    )(rois_padded, feat.reshape(h * w, c))
+    return out.reshape(r, out_size, out_size, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def roi_align_pallas(feats, rois, out_size: int, spatial_scale: float,
+                     interpret: bool = False):
+    """Batched RoIAlign, Pallas forward / XLA backward.
+
+    feats: (B, H, W, C); rois: (R, 5) with batch index in column 0.
+    Computes per image and selects rows (B is 1-2 in every shipped recipe).
+    """
+    b = feats.shape[0]
+    batch_idx = rois[:, 0].astype(jnp.int32)
+    out = None
+    for bi in range(b):
+        cur = _pallas_forward(feats[bi], rois, out_size=out_size,
+                              spatial_scale=spatial_scale,
+                              interpret=interpret)
+        sel = (batch_idx == bi)[:, None, None, None]
+        out = cur if out is None else jnp.where(sel, cur, out)
+    return out
+
+
+def _fwd(feats, rois, out_size, spatial_scale, interpret):
+    return (roi_align_pallas(feats, rois, out_size, spatial_scale,
+                             interpret), (feats, rois))
+
+
+def _bwd(out_size, spatial_scale, interpret, res, g):
+    feats, rois = res
+    # exact VJP via the numerically-identical XLA formulation
+    _, vjp = jax.vjp(
+        lambda f: _xla_roi_align(f, rois, out_size=out_size,
+                                 spatial_scale=spatial_scale), feats)
+    return vjp(g)[0], jnp.zeros_like(rois)
+
+
+roi_align_pallas.defvjp(_fwd, _bwd)
+
+
+def roi_align_avg_pallas(feats, rois, *, out_size: int, spatial_scale: float,
+                         interpret: bool = False):
+    """RoIAlignAvg with the Pallas forward: (P+1)² grid + 2×2/1 avg pool."""
+    a = roi_align_pallas(feats, rois, out_size + 1, spatial_scale, interpret)
+    return (a[:, :-1, :-1, :] + a[:, :-1, 1:, :]
+            + a[:, 1:, :-1, :] + a[:, 1:, 1:, :]) * 0.25
