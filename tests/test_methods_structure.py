@@ -110,3 +110,30 @@ def test_idf_subtrees():
     # deepcopy contract)
     assert set(params["backbone_b"].keys()) == \
         set(params["detector"]["backbone"].keys())
+
+
+def test_batch2_shapes():
+    # batch>1 (the reference asserts batch=1; we are vmap-first) — shape-level
+    # check that the whole DAF train forward traces at B=2.
+    cfg = ge._tiny_cfg(post_train=16, post_test=8, pre=64, roi_batch=8)
+    model = DAFModel(num_classes=9, cfg=cfg, net="vgg16")
+    src = ge._make_batch(2, 96, 128, domain=1, seed=0)
+    tgt = ge._make_batch(2, 96, 128, domain=0, seed=1)
+    out = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "sampling": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2)}, src, tgt, training=True,
+            method=None))
+    params = out["params"]
+    assert "detector" in params
+
+    def fwd(p):
+        return model.apply({"params": p}, src, tgt, training=True,
+                           rngs={"sampling": jax.random.PRNGKey(3),
+                                 "dropout": jax.random.PRNGKey(4)})
+    shapes = jax.eval_shape(fwd, params)
+    assert shapes["rois"].shape == (2, 8, 5)
+    assert shapes["cls_prob"].shape == (2, 8, 9)
+    assert shapes["rois_label"].shape == (2 * 8,)
+    assert shapes["rpn_loss_cls"].shape == ()
