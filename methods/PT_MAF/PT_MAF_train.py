@@ -93,9 +93,11 @@ def main():
     stride = cfg.FEAT_STRIDE[0]
     temperature = args.tmp
 
-    def teacher_kd(src, rois):
+    def teacher_kd(t_params, src, rois):
         """Frozen teacher: temp-T RPN map + temp-T cls probs on the
-        student's sampled rois (reference faster_rcnn_kd.py:43-108)."""
+        student's sampled rois (reference faster_rcnn_kd.py:43-108).
+        Teacher params arrive as a step ARGUMENT — closing over them would
+        bake ~0.5 GB of literals into the compiled program."""
         def fwd(mdl):
             base = mdl.features(src["im_data"])
             rpn_cls, _ = mdl.rpn(base)
@@ -107,11 +109,12 @@ def main():
             cls_score, _ = mdl.box_outputs(fc7)
             kd_cls = jax.nn.softmax(cls_score / temperature, axis=1)
             return kd_rpn, kd_cls
-        return teacher.apply({"params": teacher_params}, method=fwd)
+        return teacher.apply({"params": t_params}, method=fwd)
 
-    def apply_fn(p, rngs, src, tgt):
+    def apply_fn(p, rngs, src, tgt, t_params):
         out = model.apply({"params": p}, src, tgt, training=True, rngs=rngs)
-        t_rpn, t_cls = jax.lax.stop_gradient(teacher_kd(src, out["rois"]))
+        t_rpn, t_cls = jax.lax.stop_gradient(
+            teacher_kd(t_params, src, out["rois"]))
         h, w = out["kd_rpn_prob"].shape[1:3]
         mask = gt_footprint_mask(src["gt_boxes"][0], h, w, stride)
         out["kd_loss"] = pt_maf_kd_loss(out["kd_rpn_prob"], t_rpn,
@@ -129,12 +132,15 @@ def main():
     output_dir = os.path.join(args.save_dir, args.net, args.dataset)
     os.makedirs(output_dir, exist_ok=True)
 
+    teacher_params = jax.device_put(teacher_params)
+
     step = 0
     for epoch in range(args.start_epoch, args.max_epochs + 1):
         for _ in range(steps_per_epoch):
             src = shard_batch(next(s_it), mesh)
             tgt = shard_batch(next(t_it), mesh)
-            state, metrics = train_step(state, rng, src, tgt)
+            state, metrics = train_step(state, rng, src, tgt,
+                                        teacher_params)
             step += 1
             logger.update(step, epoch, float(schedule(step)), metrics)
             if args.max_steps and step >= args.max_steps:
