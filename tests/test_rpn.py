@@ -169,3 +169,37 @@ def test_proposal_target_gt_appended(rng):
     in_w = np.asarray(out.in_weights)[0]
     assert (in_w[0] == 1).all() and (in_w[1:] == 0).all()
     np.testing.assert_allclose(np.asarray(out.rois)[0][0, 1:5], gt[0, 0, :4])
+
+
+def test_proposal_layer_pa_atf_sampling(rng):
+    # PA-ATF's modified selection: slot [0, 25%·postN) keeps the NMS rank
+    # order; the rest is a random without-replacement subset of the
+    # remaining keepers (reference lib/PA_ATF/proposal_layer1.py:153-161).
+    fh, fw, a = 6, 8, 9
+    anchors = shift_anchors(fh, fw, 16, generate_anchors())
+    scores = rng.rand(1, fh, fw, a).astype(np.float32)
+    deltas = (rng.randn(1, fh, fw, 4 * a) * 0.2).astype(np.float32)
+    im_info = np.array([[fh * 16, fw * 16, 1.0]], np.float32)
+
+    plain = proposal_layer(jnp.asarray(scores), jnp.asarray(deltas),
+                           jnp.asarray(im_info), jnp.asarray(anchors),
+                           pre_nms_top_n=200, post_nms_top_n=40,
+                           nms_thresh=0.7)
+    sampled = proposal_layer(jnp.asarray(scores), jnp.asarray(deltas),
+                             jnp.asarray(im_info), jnp.asarray(anchors),
+                             pre_nms_top_n=200, post_nms_top_n=40,
+                             nms_thresh=0.7,
+                             sample_rng=jax.random.PRNGKey(5))
+    p = np.asarray(plain.rois)[0]
+    s = np.asarray(sampled.rois)[0]
+    pv = np.asarray(plain.valid)[0]
+    sv = np.asarray(sampled.valid)[0]
+    q = 10  # 25% of 40
+    # head preserved in rank order
+    np.testing.assert_allclose(s[:q][sv[:q]], p[:q][pv[:q]])
+    # tail entries are drawn from the plain keep list beyond the head
+    tail_pool = {tuple(row) for row in p[q:][pv[q:]]}
+    tail = [tuple(row) for row in s[q:][sv[q:]]]
+    assert all(t in tail_pool for t in tail)
+    assert len(set(tail)) == len(tail)          # without replacement
+    assert sv.sum() == pv.sum()                 # same total keeper count

@@ -191,10 +191,15 @@ class PAATFModel(nn.Module):
             out[k] = out[k] + anc[k]
 
         t_taps = det.features(tgt["im_data"], return_taps=True)
+        # target pass uses the modified TEST proposal selection: top-25% of
+        # NMS survivors + a random 75% of the rest
+        # (lib/PA_ATF/proposal_layer1.py:153-161)
         t_out = det.forward_from_features(
             t_taps[-1], tgt["im_info"], tgt["gt_boxes"],
             training=training, supervised=False,
-            post_nms_top_n=train_post_n)
+            post_nms_top_n=train_post_n,
+            proposal_sample_rng=(self.make_rng("sampling")
+                                 if training else None))
 
         # image DA: ancillary source features vs main target features,
         # collecting the per-level masks for the CLUB split

@@ -76,7 +76,8 @@ class FasterRCNN(nn.Module):
 
     def rpn_rois(self, base_feat, im_info, gt_boxes, *, training: bool,
                  compute_loss: bool = True,
-                 post_nms_top_n: Optional[int] = None) -> Dict[str, Any]:
+                 post_nms_top_n: Optional[int] = None,
+                 proposal_sample_rng=None) -> Dict[str, Any]:
         """RPN head + proposal layer (+ anchor targets & losses in training).
 
         ``training`` selects the TRAIN/TEST proposal params exactly like the
@@ -101,7 +102,8 @@ class FasterRCNN(nn.Module):
             fg_prob, bbox_pred, im_info, anchors,
             pre_nms_top_n=rcfg.RPN_PRE_NMS_TOP_N,
             post_nms_top_n=post_nms_top_n or rcfg.RPN_POST_NMS_TOP_N,
-            nms_thresh=rcfg.RPN_NMS_THRESH)
+            nms_thresh=rcfg.RPN_NMS_THRESH,
+            sample_rng=proposal_sample_rng)
 
         out = {"rois": props.rois, "rois_valid": props.valid,
                "rpn_cls_prob": fg_prob, "rpn_loss_cls": jnp.float32(0.0),
@@ -193,7 +195,8 @@ class FasterRCNN(nn.Module):
     def forward_from_features(self, base_feat, im_info, gt_boxes, *,
                               training: bool,
                               supervised: Optional[bool] = None,
-                              post_nms_top_n: Optional[int] = None
+                              post_nms_top_n: Optional[int] = None,
+                              proposal_sample_rng=None
                               ) -> Dict[str, Any]:
         """RPN → (sampling) → RoI features → head → losses, given a feature
         map. Method wrappers call this per backbone branch.
@@ -211,7 +214,8 @@ class FasterRCNN(nn.Module):
         b = base_feat.shape[0]
         rpn_out = self.rpn_rois(base_feat, im_info, gt_boxes,
                                 training=supervised, compute_loss=supervised,
-                                post_nms_top_n=post_nms_top_n)
+                                post_nms_top_n=post_nms_top_n,
+                                proposal_sample_rng=proposal_sample_rng)
         rois = rpn_out["rois"]
 
         out: Dict[str, Any] = {

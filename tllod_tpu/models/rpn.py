@@ -79,7 +79,8 @@ class Proposals(NamedTuple):
 def proposal_layer(fg_prob: jnp.ndarray, bbox_deltas: jnp.ndarray,
                    im_info: jnp.ndarray, anchors: jnp.ndarray, *,
                    pre_nms_top_n: int, post_nms_top_n: int,
-                   nms_thresh: float) -> Proposals:
+                   nms_thresh: float,
+                   sample_rng: "jax.Array | None" = None) -> Proposals:
     """Anchors + deltas → clipped, NMS-ed, fixed-count RoIs.
 
     fg_prob: (B, H, W, A); bbox_deltas: (B, H, W, 4A); im_info: (B, 3) rows
@@ -100,14 +101,34 @@ def proposal_layer(fg_prob: jnp.ndarray, bbox_deltas: jnp.ndarray,
     top_scores, order = jax.lax.top_k(scores, k)
     top_boxes = jnp.take_along_axis(proposals, order[..., None], axis=1)
 
-    def per_image(boxes, sc):
+    def per_image(boxes, sc, key):
         idx, num = nms_fixed(boxes, sc, iou_threshold=nms_thresh,
                              max_output=post_nms_top_n)
+        if sample_rng is not None:
+            # PA-ATF's modified selection (lib/PA_ATF/proposal_layer1.py:
+            # 153-161): keep the top 25% of NMS survivors by rank, fill the
+            # remaining 75% with a random (without-replacement) subset of
+            # the rest of the keep list.
+            q = int(post_nms_top_n * 0.25)
+            slot = jnp.arange(post_nms_top_n)
+            avail = (slot >= q) & (slot < num)
+            pr = jnp.where(avail, jax.random.uniform(key,
+                                                     (post_nms_top_n,)),
+                           -jnp.inf)
+            perm = jnp.argsort(-pr)[:post_nms_top_n - q]
+            idx = jnp.concatenate([idx[:q], jnp.take(idx, perm)])
+            n_head = jnp.minimum(num, q)
+            n_tail = jnp.maximum(num - q, 0)
+            valid = jnp.where(slot < q, slot < n_head, slot - q < n_tail)
+            num = n_head + jnp.minimum(n_tail, post_nms_top_n - q)
+        else:
+            valid = jnp.arange(post_nms_top_n) < num
         sel = jnp.take(boxes, idx, axis=0)
-        valid = jnp.arange(post_nms_top_n) < num
         return jnp.where(valid[:, None], sel, 0.0), valid
 
-    boxes, valid = jax.vmap(per_image)(top_boxes, top_scores)
+    keys = (jax.random.split(sample_rng, b) if sample_rng is not None
+            else jnp.zeros((b, 2), jnp.uint32))
+    boxes, valid = jax.vmap(per_image)(top_boxes, top_scores, keys)
     batch_col = jnp.broadcast_to(
         jnp.arange(b, dtype=boxes.dtype)[:, None, None],
         (b, post_nms_top_n, 1))
