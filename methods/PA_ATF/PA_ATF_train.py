@@ -11,10 +11,15 @@ def main():
     parser = build_train_parser("Train a PA-ATF network (TPU)")
     parser.add_argument("--beta", default=0.1, type=float,
                         help="pm (CLUB) loss weight")
+    parser.add_argument("--source_intra", action="store_true",
+                        help="vgg16_source_intra variant: CLUB pools gt-RoI "
+                             "features from the main branch")
     args = parser.parse_args()
     run_da_training(
         "pa_atf", PAATFModel,
         lambda a: (lambda out: pa_atf_loss(out, a.lamda, a.beta)), args,
+        extra_model_kwargs={"club_branch": ("main" if args.source_intra
+                                            else "ancillary")},
         extra_backbone_subtrees=(("backbone_anc",),))
 
 if __name__ == "__main__":

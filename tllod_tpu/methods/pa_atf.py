@@ -141,6 +141,10 @@ class PAATFModel(nn.Module):
     net: str = "vgg16"
     class_agnostic: bool = False
     grl_alpha: float = 0.1
+    # "ancillary" = default PA-ATF; "main" = the vgg16_source_intra variant
+    # (reference lib/PA_ATF/faster_rcnn_source_intra.py:391-393 pools the
+    # CLUB gt-RoI features from the main branch instead)
+    club_branch: str = "ancillary"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -221,9 +225,11 @@ class PAATFModel(nn.Module):
         valid = gt[:, 2] > gt[:, 0]
         gt_rois = jnp.concatenate(
             [jnp.zeros((gt.shape[0], 1), gt.dtype), gt[:, :4]], axis=1)
+        club_taps = (s_taps_anc if self.club_branch == "ancillary"
+                     else s_taps_main)
         pm = jnp.float32(0.0)
         for i, (club, feat, stride) in enumerate(
-                zip((self.club3, self.club4, self.club5), s_taps_anc,
+                zip((self.club3, self.club4, self.club5), club_taps,
                     (4, 8, 16))):
             pooled = roi_pool(feat, gt_rois, out_size=7,
                               spatial_scale=1.0 / stride)
