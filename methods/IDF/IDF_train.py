@@ -24,7 +24,8 @@ from tllod_tpu.data.voc import CLASS_SETS, VOCDetection  # noqa: E402
 from tllod_tpu.methods.idf import IDFModel, idf_loss  # noqa: E402
 from tllod_tpu.parallel.mesh import make_mesh, shard_batch  # noqa: E402
 from tllod_tpu.train import create_train_state, make_train_step  # noqa: E402
-from tllod_tpu.utils.checkpoint import save_checkpoint  # noqa: E402
+from tllod_tpu.utils.checkpoint import (resume_train_state,  # noqa: E402
+                                        save_checkpoint)
 from tllod_tpu.utils.optim import make_sgd, step_decay_schedule  # noqa: E402
 from tllod_tpu.zoo import load_pretrained_backbone  # noqa: E402
 
@@ -74,9 +75,11 @@ def main():
     print(f"source {len(s_roidb)} target(pseudo) {len(t_roidb)} entries")
 
     s_loader = DetectionLoader(s_roidb, cfg, batch_size=args.batch_size,
-                               domain=1, seed=cfg.RNG_SEED)
+                               domain=1, seed=cfg.RNG_SEED,
+                           num_workers=args.num_workers)
     t_loader = DetectionLoader(t_roidb, cfg, batch_size=args.batch_size,
-                               domain=0, seed=cfg.RNG_SEED + 1)
+                               domain=0, seed=cfg.RNG_SEED + 1,
+                           num_workers=args.num_workers)
 
     model = IDFModel(num_classes=s_ds.num_classes, cfg=cfg, net=args.net,
                      class_agnostic=args.class_agnostic, eta=args.eta,
@@ -122,6 +125,14 @@ def main():
     os.makedirs(output_dir, exist_ok=True)
 
     step = 0
+    if args.resume:
+        ckpt = os.path.join(
+            output_dir, f"idf_{args.checksession}_"
+                        f"{args.checkepoch}_{args.checkpoint}")
+        state, ckpt_epoch, step = resume_train_state(state, ckpt)
+        args.start_epoch = ckpt_epoch + 1
+        print(f"resumed from {ckpt} (epoch {ckpt_epoch}, step {step})")
+
     for epoch in range(args.start_epoch, args.max_epochs + 1):
         sep = 1.0 if epoch >= args.sep_epoch else 0.0
         for _ in range(steps_per_epoch):
@@ -133,6 +144,16 @@ def main():
             state, metrics = train_step(state, rng, src, tgt)
             step += 1
             logger.update(step, epoch, float(schedule(step)), metrics)
+            if step % args.disp_interval == 0:
+                # per-run txt loss record (reference IDF_train.py:399-415
+                # record_loss.txt): every named loss at every display tick
+                line = (f"[session {args.session}][epoch {epoch:2d}]"
+                        f"[iter {step:4d}/{steps_per_epoch:4d}] "
+                        + ", ".join(f"{k}: {float(v):.4f}"
+                                    for k, v in sorted(metrics.items())))
+                with open(os.path.join(output_dir, "record_loss.txt"),
+                          "a") as f:
+                    f.write(line + "\n")
             if args.max_steps and step >= args.max_steps:
                 break
         save_checkpoint(

@@ -4,8 +4,10 @@ domain-generalized training on two source views with multi-view adversarial
 autoencoders and an epoch-ramped loss weight.
 
 ``--dataset cityscape`` uses train_s as both views (distinct shuffle
-streams); ``--dataset dg_union`` takes explicit ``--s1_imdb/--s2_imdb``
-names (the reference's SourceSet_TargetSet_CoSet naming, MAD_train.py:286-293).
+streams); ``--dataset dg_union`` composes the reference's
+SourceSet_TargetSet_CoSet imdb names from ``--S1_Set/--S2_Set/--T_Set/...``
+(MAD_train.py:286-293) and resolves them through the DG union label space
+(``tllod_tpu/data/union.py``); ``--s1_imdb/--s2_imdb`` give explicit names.
 """
 
 import os
@@ -22,7 +24,8 @@ from tllod_tpu.data import DetectionLoader, combined_roidb  # noqa: E402
 from tllod_tpu.methods.mad import MADModel, mad_loss  # noqa: E402
 from tllod_tpu.parallel.mesh import make_mesh, shard_batch  # noqa: E402
 from tllod_tpu.train import create_train_state, make_train_step  # noqa: E402
-from tllod_tpu.utils.checkpoint import save_checkpoint  # noqa: E402
+from tllod_tpu.utils.checkpoint import (resume_train_state,  # noqa: E402
+                                        save_checkpoint)
 from tllod_tpu.utils.optim import make_sgd, step_decay_schedule  # noqa: E402
 from tllod_tpu.zoo import load_pretrained_backbone  # noqa: E402
 
@@ -31,24 +34,50 @@ def main():
     parser = build_train_parser("Train a MAD network (TPU)")
     parser.add_argument("--s1_imdb", default=None, type=str)
     parser.add_argument("--s2_imdb", default=None, type=str)
+    # dg_union flags (reference MAD_train.py:142-181): two source sets + a
+    # held-out target, each named {Set}_{other}_{other2}_{Type}_{Year}_{Part}
+    # and resolved against the DG union label space (data/union.py)
+    parser.add_argument("--S1_Set", default="cityscape", type=str)
+    parser.add_argument("--S1_Part", default="train", type=str)
+    parser.add_argument("--S1_Type", default="s1", type=str)
+    parser.add_argument("--S2_Set", default="cityscape", type=str)
+    parser.add_argument("--S2_Part", default="train", type=str)
+    parser.add_argument("--S2_Type", default="s1", type=str)
+    parser.add_argument("--T_Set", default="cityscape", type=str)
+    parser.add_argument("--T_Part", default="test", type=str)
+    parser.add_argument("--T_Type", default="s1", type=str)
+    parser.add_argument("--DataYear", default="2007", type=str)
+    parser.add_argument("--Mission", default="unnamed", type=str)
     args = parser.parse_args()
     print("Called with args:", args)
     cfg = resolve_config(args)
     np.random.seed(cfg.RNG_SEED)
 
-    if args.s1_imdb and args.s2_imdb:
+    if args.dataset == "dg_union":
+        # reference MAD_train.py:286-292 name composition
+        s1_name = "_".join([args.S1_Set, args.T_Set, args.S2_Set,
+                            args.S1_Type, args.DataYear, args.S1_Part])
+        s2_name = "_".join([args.S2_Set, args.T_Set, args.S1_Set,
+                            args.S2_Type, args.DataYear, args.S2_Part])
+    elif args.s1_imdb and args.s2_imdb:
         s1_name, s2_name = args.s1_imdb, args.s2_imdb
     else:
         ds = DATASET_MAP[args.dataset]
         s1_name = s2_name = ds["s_imdb"]
     s1_ds, s1_roidb, _, _ = combined_roidb(s1_name)
     s2_ds, s2_roidb, _, _ = combined_roidb(s2_name)
-    print(f"s1 {len(s1_roidb)} s2 {len(s2_roidb)} roidb entries")
+    assert s1_ds.classes == s2_ds.classes, (
+        "source views must share one label space — use the dg_union naming "
+        f"for heterogeneous sets ({s1_ds.classes} vs {s2_ds.classes})")
+    print(f"s1 {len(s1_roidb)} s2 {len(s2_roidb)} roidb entries, "
+          f"{s1_ds.num_classes} classes")
 
     l1 = DetectionLoader(s1_roidb, cfg, batch_size=args.batch_size,
-                         domain=1, seed=cfg.RNG_SEED)
+                         domain=1, seed=cfg.RNG_SEED,
+                           num_workers=args.num_workers)
     l2 = DetectionLoader(s2_roidb, cfg, batch_size=args.batch_size,
-                         domain=0, seed=cfg.RNG_SEED + 7)
+                         domain=0, seed=cfg.RNG_SEED + 7,
+                           num_workers=args.num_workers)
 
     model = MADModel(num_classes=s1_ds.num_classes, cfg=cfg, net=args.net,
                      class_agnostic=args.class_agnostic)
@@ -87,6 +116,14 @@ def main():
     os.makedirs(output_dir, exist_ok=True)
 
     step = 0
+    if args.resume:
+        ckpt = os.path.join(
+            output_dir, f"mad_{args.checksession}_"
+                        f"{args.checkepoch}_{args.checkpoint}")
+        state, ckpt_epoch, step = resume_train_state(state, ckpt)
+        args.start_epoch = ckpt_epoch + 1
+        print(f"resumed from {ckpt} (epoch {ckpt_epoch}, step {step})")
+
     for epoch in range(args.start_epoch, args.max_epochs + 1):
         for _ in range(steps_per_epoch):
             s1 = next(it1)

@@ -23,7 +23,9 @@ from tllod_tpu.models.rpn import rpn_probs  # noqa: E402
 from tllod_tpu.parallel.mesh import make_mesh, shard_batch  # noqa: E402
 from tllod_tpu.train import create_train_state, make_train_step  # noqa: E402
 from tllod_tpu.utils.checkpoint import (detector_params,  # noqa: E402
-                                        load_checkpoint, save_checkpoint)
+                                        load_checkpoint,
+                                        resume_train_state,
+                                        save_checkpoint)
 from tllod_tpu.utils.optim import make_sgd, step_decay_schedule  # noqa: E402
 from tllod_tpu.zoo import load_pretrained_backbone  # noqa: E402
 
@@ -48,9 +50,11 @@ def main():
     s_ds, s_roidb, _, _ = combined_roidb(ds["s_imdb"])
     t_ds, t_roidb, _, _ = combined_roidb(ds["t_imdb"])
     s_loader = DetectionLoader(s_roidb, cfg, batch_size=args.batch_size,
-                               domain=1, seed=cfg.RNG_SEED)
+                               domain=1, seed=cfg.RNG_SEED,
+                           num_workers=args.num_workers)
     t_loader = DetectionLoader(t_roidb, cfg, batch_size=args.batch_size,
-                               domain=0, seed=cfg.RNG_SEED + 1)
+                               domain=0, seed=cfg.RNG_SEED + 1,
+                           num_workers=args.num_workers)
 
     model = PTMAFModel(num_classes=s_ds.num_classes, cfg=cfg, net=args.net,
                        class_agnostic=args.class_agnostic,
@@ -135,6 +139,14 @@ def main():
     teacher_params = jax.device_put(teacher_params)
 
     step = 0
+    if args.resume:
+        ckpt = os.path.join(
+            output_dir, f"pt_maf_{args.checksession}_"
+                        f"{args.checkepoch}_{args.checkpoint}")
+        state, ckpt_epoch, step = resume_train_state(state, ckpt)
+        args.start_epoch = ckpt_epoch + 1
+        print(f"resumed from {ckpt} (epoch {ckpt_epoch}, step {step})")
+
     for epoch in range(args.start_epoch, args.max_epochs + 1):
         for _ in range(steps_per_epoch):
             src = shard_batch(next(s_it), mesh)

@@ -22,7 +22,8 @@ from tllod_tpu.models.faster_rcnn import FasterRCNN
 from tllod_tpu.parallel.mesh import make_mesh, shard_batch
 from tllod_tpu.train import create_train_state, make_train_step
 from tllod_tpu.utils.checkpoint import (detector_params, load_checkpoint,
-                                        restore_into, save_checkpoint)
+                                        restore_into, resume_train_state,
+                                        save_checkpoint)
 from tllod_tpu.utils.optim import make_sgd, step_decay_schedule
 from tllod_tpu.zoo import load_pretrained_backbone
 
@@ -44,9 +45,11 @@ def run_da_training(method_name: str, model_ctor: Callable,
     print(f"source {len(s_roidb)} target {len(t_roidb)} roidb entries")
 
     s_loader = DetectionLoader(s_roidb, cfg, batch_size=args.batch_size,
-                               domain=1, seed=cfg.RNG_SEED)
+                               domain=1, seed=cfg.RNG_SEED,
+                           num_workers=args.num_workers)
     t_loader = DetectionLoader(t_roidb, cfg, batch_size=args.batch_size,
-                               domain=0, seed=cfg.RNG_SEED + 1)
+                               domain=0, seed=cfg.RNG_SEED + 1,
+                           num_workers=args.num_workers)
 
     import jax.numpy as jnp
     model = model_ctor(num_classes=s_ds.num_classes, cfg=cfg, net=args.net,
@@ -82,14 +85,14 @@ def run_da_training(method_name: str, model_ctor: Callable,
 
     output_dir = os.path.join(args.save_dir, args.net, args.dataset)
     os.makedirs(output_dir, exist_ok=True)
+    step = 0
     if args.resume:
         ckpt_path = os.path.join(
             output_dir, f"{method_name}_{args.checksession}_"
                         f"{args.checkepoch}_{args.checkpoint}")
-        restored = load_checkpoint(ckpt_path)
-        state = state._replace(params=restored["params"])
-        args.start_epoch = int(restored["epoch"]) + 1
-        print(f"resumed from {ckpt_path}")
+        state, ckpt_epoch, step = resume_train_state(state, ckpt_path)
+        args.start_epoch = ckpt_epoch + 1
+        print(f"resumed from {ckpt_path} (epoch {ckpt_epoch}, step {step})")
 
     mesh = make_mesh() if args.m_chips else make_mesh(1)
 
@@ -109,7 +112,6 @@ def run_da_training(method_name: str, model_ctor: Callable,
         profiler = StepProfiler(os.path.join(output_dir, "profile"),
                                 args.profile)
 
-    step = 0
     for epoch in range(args.start_epoch, args.max_epochs + 1):
         for _ in range(steps_per_epoch):
             src = shard_batch(next(s_it), mesh)
@@ -143,7 +145,10 @@ def run_da_eval(args) -> dict:
     np.random.seed(cfg.RNG_SEED)
 
     ds = DATASET_MAP[args.dataset]
-    split = {"test_s": "s_test", "test_t": "t_test"}.get(args.part, "t_test")
+    split = {"test_s": "s_test", "test_t": "t_test",
+             "test_all": "all_test"}.get(args.part, "t_test")
+    if split not in ds:   # e.g. test_all where no _all split is registered
+        split = "t_test"
     dataset, roidb, _, _ = combined_roidb(ds[split], training=False,
                                           use_flipped=False)
     print(f"{len(roidb)} roidb entries for {ds[split]}")
@@ -170,4 +175,5 @@ def run_da_eval(args) -> dict:
         model, params, dataset, roidb, cfg,
         os.path.join(args.output_dir, args.net, args.dataset),
         max_per_image=args.max_per_image,
-        class_agnostic=args.class_agnostic)
+        class_agnostic=args.class_agnostic,
+        vis=getattr(args, "vis", False))

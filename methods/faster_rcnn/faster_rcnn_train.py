@@ -18,7 +18,8 @@ from tllod_tpu.data import DetectionLoader, combined_roidb  # noqa: E402
 from tllod_tpu.models.faster_rcnn import FasterRCNN, detection_loss  # noqa: E402
 from tllod_tpu.parallel.mesh import make_mesh, shard_batch  # noqa: E402
 from tllod_tpu.train import create_train_state, make_train_step  # noqa: E402
-from tllod_tpu.utils.checkpoint import load_checkpoint, save_checkpoint  # noqa: E402
+from tllod_tpu.utils.checkpoint import (resume_train_state,  # noqa: E402
+                                        save_checkpoint)
 from tllod_tpu.utils.optim import make_sgd, step_decay_schedule  # noqa: E402
 from tllod_tpu.zoo import load_pretrained_backbone  # noqa: E402
 
@@ -35,7 +36,8 @@ def main():
     print(f"{len(roidb)} roidb entries")
 
     loader = DetectionLoader(roidb, cfg, batch_size=args.batch_size,
-                             domain=1, seed=cfg.RNG_SEED)
+                             domain=1, seed=cfg.RNG_SEED,
+                           num_workers=args.num_workers)
     model = FasterRCNN(num_classes=dataset.num_classes, cfg=cfg,
                        net=args.net, class_agnostic=args.class_agnostic)
 
@@ -61,13 +63,14 @@ def main():
 
     output_dir = os.path.join(args.save_dir, args.net, args.dataset)
     os.makedirs(output_dir, exist_ok=True)
+    step = 0
     if args.resume:
         ckpt = os.path.join(
             output_dir, f"faster_rcnn_{args.checksession}_"
                         f"{args.checkepoch}_{args.checkpoint}")
-        restored = load_checkpoint(ckpt)
-        state = state._replace(params=restored["params"])
-        args.start_epoch = int(restored["epoch"]) + 1
+        state, ckpt_epoch, step = resume_train_state(state, ckpt)
+        args.start_epoch = ckpt_epoch + 1
+        print(f"resumed from {ckpt} (epoch {ckpt_epoch}, step {step})")
 
     mesh = make_mesh() if args.m_chips else make_mesh(1)
 
@@ -80,7 +83,6 @@ def main():
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
     logger = MetricLogger(args.disp_interval)
 
-    step = 0
     for epoch in range(args.start_epoch, args.max_epochs + 1):
         for _ in range(steps_per_epoch):
             batch = shard_batch(next(it), mesh)

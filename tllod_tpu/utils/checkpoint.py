@@ -15,8 +15,10 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
+from flax import serialization
 
 
 def _to_host(tree):
@@ -26,12 +28,17 @@ def _to_host(tree):
 def save_checkpoint(path: str, *, params: Any, opt_state: Any = None,
                     step: int = 0, epoch: int = 0, session: int = 1,
                     meta: Optional[Dict[str, Any]] = None) -> None:
-    """Write a checkpoint directory at ``path`` (overwrites)."""
+    """Write a checkpoint directory at ``path`` (overwrites).
+
+    ``opt_state`` (an optax chain pytree of namedtuples) is stored as a flax
+    state dict — pure nested dicts — so orbax round-trips it losslessly and
+    :func:`resume_train_state` can map it back onto a live optimizer state.
+    """
     path = os.path.abspath(path)
     payload = {"params": _to_host(params), "step": step, "epoch": epoch,
                "session": session}
     if opt_state is not None:
-        payload["opt_state"] = _to_host(opt_state)
+        payload["opt_state"] = _to_host(serialization.to_state_dict(opt_state))
     if meta:
         payload["meta"] = meta
     ckptr = ocp.PyTreeCheckpointer()
@@ -41,6 +48,29 @@ def save_checkpoint(path: str, *, params: Any, opt_state: Any = None,
 def load_checkpoint(path: str) -> Dict[str, Any]:
     ckptr = ocp.PyTreeCheckpointer()
     return ckptr.restore(os.path.abspath(path))
+
+
+def resume_train_state(state, path: str):
+    """Restore a full ``TrainState`` — params, optimizer state (momentum
+    buffers + LR-schedule count) and step — from a checkpoint directory.
+
+    This is the complete resume the reference does at
+    ``methods/DAF/DAF_train.py:327-339`` (``load_state_dict`` on model AND
+    optimizer, plus ``lr``/``start_epoch``): after resume the momentum and
+    LR-decay trajectory continue exactly as in an uninterrupted run.
+
+    Returns ``(state, epoch, step)`` where ``epoch`` is the checkpoint's
+    epoch (resume training at ``epoch + 1``).
+    """
+    restored = load_checkpoint(path)
+    params = serialization.from_state_dict(state.params, restored["params"])
+    state = state._replace(params=params)
+    if restored.get("opt_state") is not None:
+        state = state._replace(opt_state=serialization.from_state_dict(
+            state.opt_state, restored["opt_state"]))
+    step = int(np.asarray(restored.get("step", 0)))
+    state = state._replace(step=jnp.asarray(step, jnp.int32))
+    return state, int(np.asarray(restored.get("epoch", 0))), step
 
 
 def detector_params(params: Dict[str, Any],
