@@ -37,7 +37,8 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 from tllod_tpu.config import Config
-from tllod_tpu.data.transforms import crop_to_ratio, load_image_bgr, prep_image
+from tllod_tpu.data.transforms import (crop_to_ratio, load_image_bgr,
+                                       prep_image, scaled_size)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -49,7 +50,8 @@ class DetectionLoader:
 
     def __init__(self, roidb: List[dict], cfg: Config, *, batch_size: int = 1,
                  domain: int = 1, seed: int = 3, pad_multiple: int = 100,
-                 prefetch: int = 4, shuffle: bool = True):
+                 prefetch: int = 4, shuffle: bool = True,
+                 num_workers: int = 0):
         self.roidb = roidb
         self.cfg = cfg
         self.batch_size = batch_size
@@ -57,8 +59,15 @@ class DetectionLoader:
         self.pad_multiple = pad_multiple
         self.max_gt = cfg.MAX_NUM_GT_BOXES
         self.shuffle = shuffle
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
+        # decode-pool width (the reference's --nw DataLoader workers,
+        # DAF_train.py:71-73). Per-sample RNG is derived from
+        # (seed, epoch, position), so batches are bit-identical at any
+        # worker count; cv2 releases the GIL, so threads scale on
+        # multi-core hosts.
+        self.num_workers = num_workers
 
         ratios = np.array([min(max(e["width"] / float(e["height"]), 0.5), 2.0)
                            for e in roidb])
@@ -82,18 +91,24 @@ class DetectionLoader:
     def epoch_size(self) -> int:
         return self.num_batches
 
-    def _load_sample(self, entry: dict, target_ratio: float) -> dict:
+    def _load_sample(self, entry: dict, target_ratio: float,
+                     rng: np.random.RandomState) -> dict:
         im = load_image_bgr(entry["image"])
         if entry["flipped"]:
             im = im[:, ::-1, :]
-        im, scale = prep_image(im, self.cfg.PIXEL_MEANS,
-                               self.cfg.TRAIN.SCALES[0])
+        # multi-scale: one random scale per image (reference
+        # lib/roi_data_layer/minibatch.py:29-32); single-entry SCALES is the
+        # common case and keeps the bucket set minimal
+        scales = self.cfg.TRAIN.SCALES
+        target = scales[rng.randint(len(scales))] if len(scales) > 1 \
+            else scales[0]
+        im, scale = prep_image(im, self.cfg.PIXEL_MEANS, target)
         gt = np.zeros((len(entry["boxes"]), 5), np.float32)
         gt[:, :4] = entry["boxes"] * scale
         gt[:, 4] = entry["gt_classes"]
-        self.rng.shuffle(gt)
+        rng.shuffle(gt)
         if entry.get("need_crop"):
-            im, gt4 = crop_to_ratio(im, gt[:, :4], target_ratio, self.rng)
+            im, gt4 = crop_to_ratio(im, gt[:, :4], target_ratio, rng)
             gt = np.concatenate([gt4, gt[:, 4:5]], axis=1)
         # drop degenerate boxes (reference roibatchLoader.py:191-194)
         keep = (gt[:, 0] != gt[:, 2]) & (gt[:, 1] != gt[:, 3])
@@ -121,15 +136,44 @@ class DetectionLoader:
                 "num_boxes": num_boxes,
                 "domain": np.full((b,), self.domain, np.int32)}
 
-    def _epoch_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _sample_rng(self, epoch: int, position: int) -> np.random.RandomState:
+        """Deterministic per-sample stream, independent of worker count."""
+        return np.random.RandomState(
+            (self.seed * 1000003 + epoch * 8191 + position) % (2 ** 31 - 1))
+
+    def _load_batch(self, bi: int, epoch: int) -> Dict[str, np.ndarray]:
+        lo = bi * self.batch_size
+        idxs = self.order[lo: lo + self.batch_size]
+        tr = self.batch_ratio[bi]
+        samples = [self._load_sample(self.roidb[j], tr,
+                                     self._sample_rng(epoch, lo + k))
+                   for k, j in enumerate(idxs)]
+        return self._make_batch(samples)
+
+    def _epoch_batches(self, epoch: int = 0
+                       ) -> Iterator[Dict[str, np.ndarray]]:
         batch_order = (self.rng.permutation(self.num_batches)
                        if self.shuffle else np.arange(self.num_batches))
-        for bi in batch_order:
-            lo = bi * self.batch_size
-            idxs = self.order[lo: lo + self.batch_size]
-            tr = self.batch_ratio[bi]
-            samples = [self._load_sample(self.roidb[j], tr) for j in idxs]
-            yield self._make_batch(samples)
+        if self.num_workers <= 1:
+            for bi in batch_order:
+                yield self._load_batch(bi, epoch)
+            return
+        # decode pool: submit a sliding window of batches, yield in order
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+            pending: deque = deque()
+            for bi in batch_order[: 2 * self.num_workers]:
+                pending.append(ex.submit(self._load_batch, bi, epoch))
+            rest = batch_order[2 * self.num_workers:]
+            ri = 0
+            while pending:
+                batch = pending.popleft().result()
+                if ri < len(rest):
+                    pending.append(
+                        ex.submit(self._load_batch, rest[ri], epoch))
+                    ri += 1
+                yield batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         """Yield batches forever (epoch loop), prefetched by a worker
@@ -138,11 +182,13 @@ class DetectionLoader:
         stop = threading.Event()
 
         def worker():
+            epoch = 0
             while not stop.is_set():
-                for batch in self._epoch_batches():
+                for batch in self._epoch_batches(epoch):
                     if stop.is_set():
                         return
                     q.put(batch)
+                epoch += 1
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -158,16 +204,65 @@ class DetectionLoader:
 
 class EvalLoader:
     """Deterministic per-image eval loader (reference ``roibatchLoader`` eval
-    branch, ``roibatchLoader.py:207-214``: no flip, no crop, no gt)."""
+    branch, ``roibatchLoader.py:207-214``: no flip, no crop, no gt).
+
+    TPU-first: every image is padded up to one of at most ``max_buckets``
+    precomputed shapes (derived from the roidb's width/height metadata), so
+    the jitted inference program compiles a bounded number of times per
+    dataset instead of once per distinct image shape. The reference pays no
+    such cost on GPU (eager torch, ``DAF_test.py:255-297``); under XLA the
+    bucket set IS the eval-latency design decision.
+    """
 
     def __init__(self, roidb: List[dict], cfg: Config, *,
-                 pad_multiple: int = 100):
+                 pad_multiple: int = 100, max_buckets: int = 4):
         self.roidb = roidb
         self.cfg = cfg
         self.pad_multiple = pad_multiple
+        self.max_buckets = max_buckets
+        self.buckets = self._compute_buckets()
 
     def __len__(self):
         return len(self.roidb)
+
+    def _padded_shape(self, h: int, w: int):
+        sh, sw = scaled_size(h, w, self.cfg.TEST.SCALES[0])
+        return (_round_up(sh, self.pad_multiple),
+                _round_up(sw, self.pad_multiple))
+
+    def _compute_buckets(self) -> List[tuple]:
+        """≤ max_buckets shapes covering every image: exact shape set when
+        small; otherwise orientation split + per-group area quantiles, each
+        bucket the elementwise max of its members (so it dominates them)."""
+        shapes = [self._padded_shape(e["height"], e["width"])
+                  for e in self.roidb]
+        uniq = sorted(set(shapes))
+        if len(uniq) <= self.max_buckets:
+            return uniq
+        buckets = []
+        groups = [[s for s in shapes if s[0] <= s[1]],   # landscape
+                  [s for s in shapes if s[0] > s[1]]]    # portrait
+        groups = [g for g in groups if g]
+        total = sum(len(g) for g in groups)
+        quota = [max(1, round(self.max_buckets * len(g) / total))
+                 for g in groups]
+        while sum(quota) > self.max_buckets:   # rounding overflow
+            quota[int(np.argmax(quota))] -= 1
+        for g, q in zip(groups, quota):
+            g = sorted(g, key=lambda s: (s[0] * s[1], s))
+            for chunk in np.array_split(np.arange(len(g)), q):
+                if not len(chunk):
+                    continue
+                members = [g[i] for i in chunk]
+                buckets.append((max(m[0] for m in members),
+                                max(m[1] for m in members)))
+        return sorted(set(buckets))
+
+    def _pick_bucket(self, h: int, w: int) -> tuple:
+        """Smallest-area bucket dominating (h, w)."""
+        fits = [b for b in self.buckets if b[0] >= h and b[1] >= w]
+        assert fits, f"no eval bucket fits image of padded shape {(h, w)}"
+        return min(fits, key=lambda b: b[0] * b[1])
 
     def __iter__(self):
         for entry in self.roidb:
@@ -175,8 +270,8 @@ class EvalLoader:
             im, scale = prep_image(im, self.cfg.PIXEL_MEANS,
                                    self.cfg.TEST.SCALES[0])
             h, w = im.shape[:2]
-            ph = _round_up(h, self.pad_multiple)
-            pw = _round_up(w, self.pad_multiple)
+            ph, pw = self._pick_bucket(_round_up(h, self.pad_multiple),
+                                       _round_up(w, self.pad_multiple))
             im_data = np.zeros((1, ph, pw, 3), np.float32)
             im_data[0, :h, :w] = im
             yield {"im_data": im_data,

@@ -27,6 +27,13 @@ def load_image_bgr(path: str) -> np.ndarray:
     return im
 
 
+def scaled_size(h: int, w: int, target_size: int) -> Tuple[int, int]:
+    """Post-resize dims produced by :func:`prep_image` for an (h, w) input —
+    cv2.resize with fx=fy=scale rounds each dim to nearest int."""
+    s = float(target_size) / float(min(h, w))
+    return int(round(h * s)), int(round(w * s))
+
+
 def prep_image(im_bgr: np.ndarray, pixel_means, target_size: int
                ) -> Tuple[np.ndarray, float]:
     """Mean-subtract + scale shortest side to ``target_size``
