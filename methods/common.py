@@ -89,6 +89,9 @@ def build_test_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--cag", dest="class_agnostic", action="store_true")
     p.add_argument("--output_dir", default="./output/eval", type=str)
     p.add_argument("--max_per_image", default=100, type=int)
+    p.add_argument("--vis", action="store_true",
+                   help="write annotated detection images to "
+                        "<output_dir>/vis (reference DAF_test.py:92)")
     p.add_argument("--set", dest="set_cfgs", nargs="*", default=None)
     return p
 
@@ -101,6 +104,7 @@ DATASET_MAP: Dict[str, dict] = {
         "t_imdb": "cityscape_2007_train_t",
         "s_test": "cityscape_2007_test_s",
         "t_test": "cityscape_2007_test_t",
+        "all_test": "cityscape_2007_test_all",
         "set_cfgs": ["ANCHOR_SCALES", "[4,8,16,32]",
                      "ANCHOR_RATIOS", "[0.5,1,2]",
                      "MAX_NUM_GT_BOXES", "50"],
@@ -119,6 +123,93 @@ DATASET_MAP: Dict[str, dict] = {
         "t_imdb": "clipart_us_trainval",
         "s_test": "voc_2007_test",
         "t_test": "clipart_us_trainval",
+        "set_cfgs": ["ANCHOR_SCALES", "[4,8,16,32]",
+                     "ANCHOR_RATIOS", "[0.5,1,2]",
+                     "MAX_NUM_GT_BOXES", "50"],
+    },
+    "pascal_voc_0712": {  # reference DAF_train.py pascal_voc_0712 branch
+        "s_imdb": "voc_2007_trainval+voc_2012_trainval",
+        "t_imdb": "voc_2007_trainval+voc_2012_trainval",
+        "s_test": "voc_2007_test",
+        "t_test": "voc_2007_test",
+        "set_cfgs": ["ANCHOR_SCALES", "[8,16,32]",
+                     "ANCHOR_RATIOS", "[0.5,1,2]",
+                     "MAX_NUM_GT_BOXES", "20"],
+    },
+    "clipart": {  # VOC→clipart (reference MAF_train.py "clipart" branch;
+        # its test names point at cityscape by copy-paste — fixed here)
+        "s_imdb": "voc_2007_trainval+voc_2012_trainval",
+        "t_imdb": "clipart_train",
+        "s_test": "voc_2007_test",
+        "t_test": "clipart_test",
+        "set_cfgs": ["ANCHOR_SCALES", "[8,16,32]",
+                     "ANCHOR_RATIOS", "[0.5,1,2]",
+                     "MAX_NUM_GT_BOXES", "50"],
+    },
+    "VOC2clipart": {  # US-DAF (US_DAF_train.py:220-226)
+        "s_imdb": "VOC_2007_train_trainval+VOC_2012_train_trainval",
+        "t_imdb": "clipart_2007_train",
+        "s_test": "VOC_2007_train_test+VOC_2012_train_test",
+        "t_test": "clipart_2007_test",
+        "set_cfgs": ["ANCHOR_SCALES", "[8,16,32]",
+                     "ANCHOR_RATIOS", "[0.5,1,2]",
+                     "MAX_NUM_GT_BOXES", "20"],
+    },
+    "VOC2water": {  # US-DAF (US_DAF_train.py:213-219)
+        "s_imdb": "VOC_2007_train_trainval+VOC_2012_train_trainval",
+        "t_imdb": "watercolor_2007_train",
+        "s_test": "VOC_2007_train_test+VOC_2012_train_test",
+        "t_test": "watercolor_2007_test",
+        "set_cfgs": ["ANCHOR_SCALES", "[8,16,32]",
+                     "ANCHOR_RATIOS", "[0.5,1,2]",
+                     "MAX_NUM_GT_BOXES", "20"],
+    },
+    "water2VOC": {  # US-DAF (US_DAF_train.py:206-212)
+        "s_imdb": "watercolor_2007_train",
+        "t_imdb": "VOC_2007_train_trainval+VOC_2012_train_trainval",
+        "s_test": "watercolor_2007_test",
+        "t_test": "VOC_2007_train_test+VOC_2012_train_test",
+        "set_cfgs": ["ANCHOR_SCALES", "[8,16,32]",
+                     "ANCHOR_RATIOS", "[0.5,1,2]",
+                     "MAX_NUM_GT_BOXES", "20"],
+    },
+    "cs_cyclegan_fg": {  # MAF's CycleGAN-foggy source (MAF_train.py:170-173)
+        "s_imdb": "cs_2007_train_fg",
+        "t_imdb": "cityscape_2007_train_t",
+        "s_test": "cityscape_2007_test_s",
+        "t_test": "cityscape_2007_test_t",
+        "set_cfgs": ["ANCHOR_SCALES", "[4,8,16,32]",
+                     "ANCHOR_RATIOS", "[0.5,1,2]",
+                     "MAX_NUM_GT_BOXES", "50"],
+    },
+    "coco": {  # reference DAF_train.py coco branch (source-only baseline)
+        "s_imdb": "coco_2014_train+coco_2014_valminusminival",
+        "t_imdb": "coco_2014_train+coco_2014_valminusminival",
+        "s_test": "coco_2014_minival",
+        "t_test": "coco_2014_minival",
+        "set_cfgs": ["ANCHOR_SCALES", "[4,8,16,32]",
+                     "ANCHOR_RATIOS", "[0.5,1,2]",
+                     "MAX_NUM_GT_BOXES", "50"],
+    },
+    "imagenet": {
+        "s_imdb": "imagenet_train",
+        "t_imdb": "imagenet_train",
+        "s_test": "imagenet_val",
+        "t_test": "imagenet_val",
+        "set_cfgs": ["ANCHOR_SCALES", "[4,8,16,32]",
+                     "ANCHOR_RATIOS", "[0.5,1,2]",
+                     "MAX_NUM_GT_BOXES", "30"],
+    },
+    "vg": {
+        "s_imdb": "vg_150-50-50_minitrain",
+        "t_imdb": "vg_150-50-50_minitrain",
+        "s_test": "vg_150-50-50_minival",
+        "t_test": "vg_150-50-50_minival",
+        "set_cfgs": ["ANCHOR_SCALES", "[4,8,16,32]",
+                     "ANCHOR_RATIOS", "[0.5,1,2]",
+                     "MAX_NUM_GT_BOXES", "50"],
+    },
+    "dg_union": {  # MAD DG setting; imdb names composed from --S*_Set flags
         "set_cfgs": ["ANCHOR_SCALES", "[4,8,16,32]",
                      "ANCHOR_RATIOS", "[0.5,1,2]",
                      "MAX_NUM_GT_BOXES", "50"],

@@ -33,7 +33,9 @@ class COCODetection:
         self._cat_to_ind = {c["id"]: i + 1 for i, c in enumerate(cats)}
         self._images = {im["id"]: im for im in data["images"]}
         self._anns: Dict[int, List[dict]] = {}
+        self._eval_anns: Dict[int, List[dict]] = {}   # crowds kept for eval
         for ann in data["annotations"]:
+            self._eval_anns.setdefault(ann["image_id"], []).append(ann)
             if ann.get("iscrowd", 0):
                 continue
             self._anns.setdefault(ann["image_id"], []).append(ann)
@@ -78,3 +80,53 @@ class COCODetection:
                 "img_id": os.path.splitext(im["file_name"])[0],
             })
         return roidb
+
+    # -- COCO-protocol evaluation (reference lib/datasets/coco.py:266-325 +
+    # lib/pycocotools/cocoeval.py, bbox-only) --
+
+    def evaluate_detections(self, all_boxes: List[List], output_dir: str
+                            ) -> Dict[str, float]:
+        """all_boxes[class][image] = (n, 5) [x1 y1 x2 y2 score] raw coords →
+        the 12 COCO stats (AP@[.5:.95] headline). Also writes the standard
+        detections_<name>_results.json (reference coco.py:299-315)."""
+        import json as _json
+
+        from tllod_tpu.data.coco_eval import (evaluate_coco,
+                                              print_coco_stats)
+
+        ind_to_cat = {v: k for k, v in self._cat_to_ind.items()}
+        gts, dts, results = {}, {}, []
+        for iid in self.image_ids:
+            for ann in self._eval_anns.get(iid, []):
+                x, y, w, h = ann["bbox"]
+                cat = ann["category_id"]
+                gts.setdefault((iid, cat), []).append({
+                    "bbox": [x, y, w, h],
+                    "area": float(ann.get("area", w * h)),
+                    "iscrowd": int(ann.get("iscrowd", 0))})
+        for c in range(1, self.num_classes):
+            cat = ind_to_cat[c]
+            for i, iid in enumerate(self.image_ids):
+                dets = np.asarray(all_boxes[c][i]
+                                  if i < len(all_boxes[c]) else [])
+                if dets.size == 0:
+                    continue
+                for x1, y1, x2, y2, score in dets:
+                    # xyxy (0-based inclusive) → xywh (coco.py:304-310)
+                    bbox = [float(x1), float(y1),
+                            float(x2 - x1 + 1), float(y2 - y1 + 1)]
+                    dts.setdefault((iid, cat), []).append(
+                        {"bbox": bbox, "score": float(score)})
+                    results.append({"image_id": int(iid), "category_id": cat,
+                                    "bbox": [round(v, 2) for v in bbox],
+                                    "score": float(score)})
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            res_file = os.path.join(
+                output_dir, f"detections_{self.name}_results.json")
+            with open(res_file, "w") as f:
+                _json.dump(results, f)
+        out = evaluate_coco(gts, dts, sorted(ind_to_cat.values()),
+                            self.image_ids)
+        print_coco_stats(out["stats"])
+        return out["stats"]

@@ -11,7 +11,7 @@ from typing import Dict, List, Sequence
 import numpy as np
 
 from tllod_tpu.data.voc import VOCDetection
-from tllod_tpu.data.voc_eval import voc_eval
+from tllod_tpu.data.voc_eval import eval_class_detections, voc_eval
 
 
 def write_voc_results(dataset: VOCDetection, all_boxes: List[List],
@@ -52,6 +52,43 @@ def evaluate_detections(dataset: VOCDetection, all_boxes: List[List],
                             dataset.imageset_file, cls, cachedir,
                             ovthresh=ovthresh, use_07_metric=use_07_metric)
         aps[cls] = ap
+    aps["mAP"] = float(np.mean([v for k, v in aps.items() if k != "mAP"]))
+    return aps
+
+
+def evaluate_detections_roidb(dataset, roidb: Sequence[dict],
+                              all_boxes: List[List], *,
+                              ovthresh: float = 0.5,
+                              use_07_metric: bool = True
+                              ) -> Dict[str, float]:
+    """In-memory VOC-style AP for datasets without an on-disk VOC devkit
+    layout (imagenet, vg, DG-union names): class_recs come straight from
+    the roidb (the pattern of reference ``lib/datasets/vg_eval.py:40-51``),
+    ``gt_ishard`` plays the difficult flag like ``voc_eval``."""
+    aps: Dict[str, float] = {}
+    img_ids = [str(e.get("img_id", i)) for i, e in enumerate(roidb)]
+    for c in range(1, dataset.num_classes):
+        class_recs = {}
+        for iid, entry in zip(img_ids, roidb):
+            sel = np.asarray(entry["gt_classes"]) == c
+            bbox = np.asarray(entry["boxes"])[sel]
+            hard = np.asarray(entry.get(
+                "gt_ishard", np.zeros(len(entry["gt_classes"]))))[sel]
+            class_recs[iid] = {"bbox": bbox,
+                               "difficult": hard.astype(bool),
+                               "det": [False] * len(bbox)}
+        det_ids, confs, boxes = [], [], []
+        for iid, dets in zip(img_ids, all_boxes[c]):
+            dets = np.asarray(dets)
+            for k in range(len(dets)):
+                det_ids.append(iid)
+                confs.append(dets[k, 4])
+                boxes.append(dets[k, :4])
+        _, _, ap = eval_class_detections(
+            class_recs, det_ids, np.asarray(confs, float),
+            np.asarray(boxes, float).reshape(-1, 4),
+            ovthresh=ovthresh, use_07_metric=use_07_metric)
+        aps[dataset.classes[c]] = ap
     aps["mAP"] = float(np.mean([v for k, v in aps.items() if k != "mAP"]))
     return aps
 

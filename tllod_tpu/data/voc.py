@@ -46,6 +46,11 @@ CLASS_SETS: Dict[str, Sequence[str]] = {
                               "diningtable", "dog", "horse", "motorbike",
                               "person", "pottedplant", "sheep", "sofa",
                               "train", "tvmonitor"),
+    # Watercolor2k (Inoue et al.) — the 6 classes shared with VOC; used by
+    # the US-DAF water2VOC/VOC2water settings
+    # (reference methods/US_DAF/US_DAF_train.py:206-217)
+    "watercolor": ("__background__",
+                   "bicycle", "bird", "car", "cat", "dog", "person"),
 }
 
 
@@ -59,7 +64,8 @@ class VOCDetection:
     def __init__(self, name: str, root: str, split: str,
                  classes: Sequence[str], *,
                  image_ext: str = ".jpg",
-                 cache_dir: Optional[str] = None):
+                 cache_dir: Optional[str] = None,
+                 name_map=None):
         self.name = name
         self.root = root
         self.split = split
@@ -68,6 +74,9 @@ class VOCDetection:
         self._class_to_ind = {c: i for i, c in enumerate(self.classes)}
         self.image_ext = image_ext
         self.cache_dir = cache_dir
+        # optional raw-name normalizer (DG union synonyms, data/union.py);
+        # objects whose mapped name is outside ``classes`` are dropped
+        self._name_map = name_map or (lambda n: n)
 
         setfile = os.path.join(root, "ImageSets", "Main", split + ".txt")
         if not os.path.exists(setfile):
@@ -98,7 +107,8 @@ class VOCDetection:
     def _parse_annotation(self, index: str) -> dict:
         tree = ET.parse(self.annotation_path(index))
         objs = [o for o in tree.findall("object")
-                if o.find("name").text.lower().strip() in self._class_to_ind]
+                if self._name_map(o.find("name").text.lower().strip())
+                in self._class_to_ind]
         n = len(objs)
         boxes = np.zeros((n, 4), np.float32)
         gt_classes = np.zeros((n,), np.int32)
@@ -112,8 +122,8 @@ class VOCDetection:
                          float(bb.find("ymax").text) - 1]
             diff = obj.find("difficult")
             ishards[ix] = 0 if diff is None else int(diff.text)
-            gt_classes[ix] = self._class_to_ind[
-                obj.find("name").text.lower().strip()]
+            gt_classes[ix] = self._class_to_ind[self._name_map(
+                obj.find("name").text.lower().strip())]
         size = tree.find("size")
         width = int(size.find("width").text) if size is not None else 0
         height = int(size.find("height").text) if size is not None else 0

@@ -26,7 +26,8 @@ from tllod_tpu.train import collect_detections, postprocess_detections
 def run_detection(model: FasterRCNN, params, dataset, roidb, cfg: Config, *,
                   max_per_image: int = 100, score_thresh: float = 0.0,
                   class_agnostic: bool = False,
-                  verbose_every: int = 200) -> List[List]:
+                  verbose_every: int = 200, vis: bool = False,
+                  vis_dir: str = "", vis_thresh: float = 0.3) -> List[List]:
     """Run inference over ``roidb`` → all_boxes[class][image] arrays."""
     num_classes = dataset.num_classes
     stds = jnp.asarray(cfg.TRAIN.BBOX_NORMALIZE_STDS, jnp.float32)
@@ -58,6 +59,13 @@ def run_detection(model: FasterRCNN, params, dataset, roidb, cfg: Config, *,
                                        score_thresh=score_thresh)
         for c in range(1, num_classes):
             all_boxes[c][i] = per_class[c]
+        if vis:
+            # reference --vis flow (DAF_test.py:299-345)
+            from tllod_tpu.utils.vis import save_detection_image
+            save_detection_image(roidb[i]["image"], per_class,
+                                 dataset.classes, vis_dir or ".",
+                                 thresh=vis_thresh,
+                                 img_id=roidb[i].get("img_id"))
         if verbose_every and (i + 1) % verbose_every == 0:
             rate = (i + 1) / (time.time() - t0)
             print(f"im_detect: {i + 1}/{n} {rate:.2f} im/s", flush=True)
@@ -66,10 +74,22 @@ def run_detection(model: FasterRCNN, params, dataset, roidb, cfg: Config, *,
 
 def evaluate_model(model: FasterRCNN, params, dataset, roidb, cfg: Config,
                    output_dir: str, *, max_per_image: int = 100,
-                   class_agnostic: bool = False) -> Dict[str, float]:
+                   class_agnostic: bool = False,
+                   vis: bool = False) -> Dict[str, float]:
     all_boxes = run_detection(model, params, dataset, roidb, cfg,
                               max_per_image=max_per_image,
-                              class_agnostic=class_agnostic)
+                              class_agnostic=class_agnostic,
+                              vis=vis, vis_dir=output_dir)
+    if hasattr(dataset, "evaluate_detections"):
+        # dataset-native protocol (COCO AP@[.5:.95], data/coco.py)
+        return dataset.evaluate_detections(all_boxes, output_dir)
+    if not hasattr(dataset, "annopath_template"):
+        # no on-disk VOC devkit (imagenet/vg/union): in-memory VOC-style AP
+        from tllod_tpu.data.evaluate import evaluate_detections_roidb
+        aps = evaluate_detections_roidb(dataset, roidb, all_boxes,
+                                        use_07_metric=True)
+        print_eval(aps)
+        return aps
     aps = evaluate_detections(dataset, all_boxes, output_dir,
                               use_07_metric=True)
     print_eval(aps)
