@@ -20,9 +20,11 @@ one RPN/head with summed supervised losses) plus:
 Total loss (``methods/PA_ATF/PA_ATF_train.py:405-408``):
     det + λ·(img + ins + tgt_img + tgt_ins) + β·pm, λ=0.1, β=0.1.
 
-Not reproduced (train-time-only, small effect): the modified TEST proposal
-selection keeping top-25% + random-75% of NMS survivors
-(``lib/PA_ATF/proposal_layer1.py:153-161``) on the target pass.
+The modified target-pass proposal selection — keep top-25% by rank plus a
+random 75% of the remaining NMS survivors
+(``lib/PA_ATF/proposal_layer1.py:153-161``) — is reproduced inline in
+``models/rpn.py`` (the ``sample_rng`` branch of the proposal layer's
+``per_image``) and enabled on the target stream.
 """
 
 from __future__ import annotations
