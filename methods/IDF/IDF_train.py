@@ -145,15 +145,25 @@ def main():
             step += 1
             logger.update(step, epoch, float(schedule(step)), metrics)
             if step % args.disp_interval == 0:
-                # per-run txt loss record (reference IDF_train.py:399-415
-                # record_loss.txt): every named loss at every display tick
-                line = (f"[session {args.session}][epoch {epoch:2d}]"
-                        f"[iter {step:4d}/{steps_per_epoch:4d}] "
-                        + ", ".join(f"{k}: {float(v):.4f}"
-                                    for k, v in sorted(metrics.items())))
+                # per-run txt records (reference IDF_train.py:399-415):
+                # record_loss.txt = every named loss, record_dist.txt =
+                # the six per-block branch distances
+                head = (f"[session {args.session}][epoch {epoch:2d}]"
+                        f"[iter {step:4d}/{steps_per_epoch:4d}] ")
+                losses = {k: v for k, v in metrics.items()
+                          if not k.startswith("dist")}
+                dists = {k: v for k, v in metrics.items()
+                         if k.startswith("dist")}
                 with open(os.path.join(output_dir, "record_loss.txt"),
                           "a") as f:
-                    f.write(line + "\n")
+                    f.write(head + ", ".join(
+                        f"{k}: {float(v):.4f}"
+                        for k, v in sorted(losses.items())) + "\n")
+                with open(os.path.join(output_dir, "record_dist.txt"),
+                          "a") as f:
+                    f.write(head + ", ".join(
+                        f"{k}: {float(v):.4f}"
+                        for k, v in sorted(dists.items())) + "\n")
             if args.max_steps and step >= args.max_steps:
                 break
         save_checkpoint(

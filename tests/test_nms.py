@@ -67,3 +67,16 @@ def test_rpn_scale(rng):
     # Train-time scale: 12000 boxes, keep 2000 @ 0.7 — matches oracle.
     dets = _rand_dets(rng, 2000, spread=600)
     _check(dets, 0.7, 400)
+
+
+def test_presorted_fast_path(rng):
+    # presorted=True (proposal-layer path: scores straight out of top_k)
+    # must select exactly the same boxes as the sorting path.
+    dets = _rand_dets(rng, 300, spread=120)
+    dets = dets[np.argsort(-dets[:, 4])]
+    idx, num = nms_fixed(jnp.asarray(dets[:, :4]), jnp.asarray(dets[:, 4]),
+                         iou_threshold=0.6, max_output=100, presorted=True)
+    idx, num = np.asarray(idx), int(num)
+    want = nms_numpy(dets, 0.6)[:100]
+    assert num == len(want)
+    np.testing.assert_array_equal(idx[:num], want)

@@ -323,7 +323,12 @@ class IDFModel(nn.Module):
             # gated from epoch 3 by IDF_train.py:179)
             "se_loss": sep_w * 0.001 * (s_dists[1] + s_dists[2]
                                         + t_dists[1] + t_dists[2]),
-            "dist1": s_dists[0],
+            # raw per-block branch distances, both domains — surfaced for
+            # the per-run record_dist.txt (reference IDF_train.py:399-405)
+            "dist1_s": s_dists[0], "dist2_s": s_dists[1],
+            "dist3_s": s_dists[2],
+            "dist1_t": t_dists[0], "dist2_t": t_dists[1],
+            "dist3_t": t_dists[2],
         })
         return out
 

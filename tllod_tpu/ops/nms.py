@@ -80,10 +80,10 @@ def _self_suppress(over: jnp.ndarray, cand: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("iou_threshold", "max_output",
-                                             "block_size"))
+                                             "block_size", "presorted"))
 def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, *,
               iou_threshold: float, max_output: int,
-              block_size: int = 512):
+              block_size: int = 512, presorted: bool = False):
     """Greedy NMS with fixed output shape.
 
     Args:
@@ -93,6 +93,8 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, *,
         slots; slots with score == float32 min are never selected.
       iou_threshold: suppression threshold (suppress when IoU > threshold).
       max_output: static number of output slots.
+      presorted: scores are already descending (e.g. straight out of
+        ``lax.top_k``) — skips the internal argsort.
 
     Returns:
       idx: (max_output,) int32 indices into the input, in descending score
@@ -104,11 +106,17 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, *,
     n_pad = ((n + t_sz - 1) // t_sz) * t_sz
     num_blocks = n_pad // t_sz
 
-    order = jnp.argsort(-scores)
+    if presorted:
+        # no argsort AND no gather — the sorted view is the input itself
+        order = jnp.arange(n)
+        boxes_o, scores_o = boxes, scores
+    else:
+        order = jnp.argsort(-scores)
+        boxes_o, scores_o = boxes[order], scores[order]
     boxes_s = jnp.concatenate(
-        [boxes[order], jnp.zeros((n_pad - n, 4), boxes.dtype)], axis=0)
+        [boxes_o, jnp.zeros((n_pad - n, 4), boxes.dtype)], axis=0)
     scores_s = jnp.concatenate(
-        [scores[order], jnp.full((n_pad - n,), _NEG_INF, scores.dtype)],
+        [scores_o, jnp.full((n_pad - n,), _NEG_INF, scores.dtype)],
         axis=0)
     valid = scores_s > _NEG_INF
 

@@ -57,7 +57,7 @@ def make_train_step(apply_fn: Callable, loss_fn: Callable,
             loss = loss_fn(out)
             metrics = {k: v for k, v in out.items()
                        if k.endswith("loss") or k.endswith("loss_cls")
-                       or k.endswith("loss_box")}
+                       or k.endswith("loss_box") or k.startswith("dist")}
             metrics["loss"] = loss
             # fg count like the reference's display (DAF_train.py:425-428)
             if out.get("rois_label") is not None:

@@ -1,0 +1,230 @@
+#!/usr/bin/env python
+"""On-chip perf probes for the DAF train step (development tool).
+
+Times isolated pieces of the flagship DAF/VGG16 600x1200 step so
+optimization effort goes where the time is:
+
+  --probe backbone   VGG16 features fwd+bwd only (the conv FLOPs ceiling)
+  --probe detector   full supervised Faster R-CNN step (no DA heads)
+  --probe daf        full DAF step (source+target+DA) == bench.py
+  --probe rpnhead    everything after the backbone (proposal/NMS/targets/
+                     RoIAlign/head) — isolates the detection machinery
+
+Each prints one JSON line {probe, ms_per_step, images_per_sec}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _force(out):
+    """Fetch one scalar derived from ``out`` — the axon TPU transport is
+    async and ``block_until_ready`` alone does not flush (see bench.py);
+    device programs execute in dispatch order, so fetching a scalar of the
+    LAST program forces every enqueued one."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf))
+
+
+def _timeit(step, n, *args):
+    _force(step(*args))  # warmup / compile
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n):
+        out = step(*args)
+    _force(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--probe", default="backbone",
+                    choices=["backbone", "detector", "daf", "rpnhead",
+                             "proposal", "anchortgt"])
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="backbone probe batch size (batch-2 vs 2x batch-1 "
+                         "decides whether fusing src+tgt conv passes pays)")
+    args = ap.parse_args()
+
+    import dataclasses
+    import os
+
+    from __graft_entry__ import _make_batch
+    from tllod_tpu.config import Config, cfg_from_file
+
+    cfg = Config()
+    yml = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "..", "cfgs", "vgg16.yml")
+    if os.path.exists(yml):
+        cfg = cfg_from_file(cfg, yml)
+    cfg = dataclasses.replace(cfg, ANCHOR_SCALES=(4, 8, 16, 32),
+                              MAX_NUM_GT_BOXES=50)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    h, w, b = 600, 1200, (args.batch if args.probe == "backbone" else 1)
+    src = _make_batch(b, h, w, domain=1, seed=0, n_boxes=15, max_gt=50)
+    tgt = _make_batch(b, h, w, domain=0, seed=1, n_boxes=15, max_gt=50)
+
+    if args.probe == "backbone":
+        from tllod_tpu.models.backbones import VGG16Features
+        net = VGG16Features(dtype=dtype)
+        params = net.init(jax.random.PRNGKey(0),
+                          jnp.zeros((b, 128, 256, 3)))["params"]
+
+        @jax.jit
+        def step(p, x):
+            def loss(p):
+                f = net.apply({"params": p}, x)
+                return jnp.sum(f.astype(jnp.float32) ** 2)
+            return jax.grad(loss)(p)
+
+        x = jax.device_put(src["im_data"])
+        ms = _timeit(lambda p: step(p, x), args.steps, params) * 1e3
+        ips = 1e3 / ms * b
+    elif args.probe in ("proposal", "anchortgt"):
+        from tllod_tpu.models.rpn import anchor_target, proposal_layer
+        from tllod_tpu.ops.anchors import generate_anchors, shift_anchors
+        # VGG16 stride-16 feature grid for (h, w) via shape-only trace
+        from tllod_tpu.models.backbones import VGG16Features
+        net = VGG16Features()
+        bp = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 128, 256, 3)))["params"]
+        fshape = jax.eval_shape(
+            lambda p, x: net.apply({"params": p}, x), bp,
+            jax.ShapeDtypeStruct((b, h, w, 3), jnp.float32)).shape
+        fh, fw = int(fshape[1]), int(fshape[2])
+        base_a = generate_anchors(base_size=cfg.FEAT_STRIDE[0],
+                                  ratios=cfg.ANCHOR_RATIOS,
+                                  scales=cfg.ANCHOR_SCALES)
+        anchors = jnp.asarray(shift_anchors(fh, fw, cfg.FEAT_STRIDE[0],
+                                            base_a))
+        A = base_a.shape[0]
+        rng_np = np.random.RandomState(0)
+        im_info = jnp.asarray(src["im_info"])
+        if args.probe == "proposal":
+            rcfg = cfg.rpn_cfg(True)
+            fg = jnp.asarray(rng_np.rand(b, fh, fw, A).astype(np.float32))
+            deltas = jnp.asarray(
+                (rng_np.randn(b, fh, fw, 4 * A) * 0.1).astype(np.float32))
+
+            @jax.jit
+            def step(fg, deltas):
+                p = proposal_layer(
+                    fg, deltas, im_info, anchors,
+                    pre_nms_top_n=rcfg.RPN_PRE_NMS_TOP_N,
+                    post_nms_top_n=rcfg.RPN_POST_NMS_TOP_N,
+                    nms_thresh=rcfg.RPN_NMS_THRESH)
+                return p.rois
+
+            ms = _timeit(step, args.steps, fg, deltas) * 1e3
+        else:
+            gt = jnp.asarray(src["gt_boxes"])
+
+            @jax.jit
+            def step(gt, key):
+                t = anchor_target(gt, im_info, anchors, cfg, key)
+                return t.labels
+
+            ms = _timeit(step, args.steps, gt, jax.random.PRNGKey(0)) * 1e3
+        ips = 1e3 / ms * b
+    elif args.probe in ("detector", "rpnhead"):
+        from tllod_tpu.models.faster_rcnn import FasterRCNN
+        det = FasterRCNN(num_classes=9, cfg=cfg, net="vgg16", dtype=dtype)
+        rngs = {"params": jax.random.PRNGKey(0),
+                "sampling": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2)}
+        small = _make_batch(b, 128, 256, domain=1, seed=0)
+        params = det.init(rngs, small["im_data"], small["im_info"],
+                          small["gt_boxes"], training=True)["params"]
+
+        if args.probe == "detector":
+            @jax.jit
+            def step(p, rng, batch):
+                def loss(p):
+                    out = det.apply(
+                        {"params": p}, batch["im_data"], batch["im_info"],
+                        batch["gt_boxes"], training=True,
+                        rngs={"sampling": rng, "dropout": rng})
+                    return (out["rpn_loss_cls"] + out["rpn_loss_box"]
+                            + out["rcnn_loss_cls"] + out["rcnn_loss_box"])
+                return jax.grad(loss)(p)
+
+            batch = jax.device_put(src)
+            rng = jax.random.PRNGKey(3)
+            ms = _timeit(lambda p: step(p, rng, batch),
+                         args.steps, params) * 1e3
+        else:
+            # precompute base features outside the timed region
+            @jax.jit
+            def feats(p, x):
+                return det.apply({"params": p}, x, method="features")
+
+            base = feats(params, jax.device_put(src["im_data"]))
+            jax.block_until_ready(base)
+
+            @jax.jit
+            def step(p, rng, base, batch):
+                def loss(p):
+                    out = det.apply(
+                        {"params": p}, base, batch["im_info"],
+                        batch["gt_boxes"], training=True, supervised=True,
+                        method="forward_from_features",
+                        rngs={"sampling": rng, "dropout": rng})
+                    return (out["rpn_loss_cls"] + out["rpn_loss_box"]
+                            + out["rcnn_loss_cls"] + out["rcnn_loss_box"])
+                return jax.grad(loss)(p)
+
+            batch = jax.device_put(src)
+            rng = jax.random.PRNGKey(3)
+            ms = _timeit(lambda p: step(p, rng, base, batch),
+                         args.steps, params) * 1e3
+        ips = 1e3 / ms * b
+    else:  # daf
+        from tllod_tpu.methods.daf import DAFModel, daf_loss
+        from tllod_tpu.train import create_train_state, make_train_step
+        from tllod_tpu.utils.optim import make_sgd
+        model = DAFModel(num_classes=9, cfg=cfg, net="vgg16", dtype=dtype)
+        rngs = {"params": jax.random.PRNGKey(0),
+                "sampling": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2)}
+        s0 = _make_batch(b, 128, 256, domain=1, seed=0)
+        t0_ = _make_batch(b, 128, 256, domain=0, seed=1)
+        params = model.init(rngs, s0, t0_, training=True)["params"]
+        tx = make_sgd(0.002, clip_norm=10.0)
+        state = create_train_state(params, tx)
+
+        def apply_fn(p, r, s, t):
+            return model.apply({"params": p}, s, t, training=True, rngs=r)
+
+        step = make_train_step(apply_fn, daf_loss, tx, donate=False)
+        rng = jax.random.PRNGKey(3)
+        s = jax.device_put(src)
+        t = jax.device_put(tgt)
+        state, m = step(state, rng, s, t)
+        float(m["loss"])
+        t1 = time.perf_counter()
+        for _ in range(args.steps):
+            state, m = step(state, rng, s, t)
+        float(m["loss"])
+        ms = (time.perf_counter() - t1) / args.steps * 1e3
+        ips = 1e3 / ms * 2 * b
+
+    print(json.dumps({"probe": args.probe, "bf16": args.bf16,
+                      "ms_per_step": round(ms, 2),
+                      "images_per_sec": round(ips, 2)}))
+
+
+if __name__ == "__main__":
+    main()
