@@ -89,6 +89,10 @@ def build_test_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--cag", dest="class_agnostic", action="store_true")
     p.add_argument("--output_dir", default="./output/eval", type=str)
     p.add_argument("--max_per_image", default=100, type=int)
+    p.add_argument("--shard_eval", action="store_true",
+                   help="data-parallel eval over all devices (one image per "
+                        "chip per step; no reference counterpart — *_test.py "
+                        "are single-GPU)")
     p.add_argument("--vis", action="store_true",
                    help="write annotated detection images to "
                         "<output_dir>/vis (reference DAF_test.py:92)")

@@ -171,9 +171,15 @@ def run_da_eval(args) -> dict:
     restored = load_checkpoint(ckpt)
     params = restore_into(template, detector_params(restored["params"]))
 
+    mesh = None
+    if getattr(args, "shard_eval", False) and len(jax.devices()) > 1:
+        from tllod_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+        print(f"sharded eval over {mesh.size} devices")
+
     return evaluate_model(
         model, params, dataset, roidb, cfg,
         os.path.join(args.output_dir, args.net, args.dataset),
         max_per_image=args.max_per_image,
         class_agnostic=args.class_agnostic,
-        vis=getattr(args, "vis", False))
+        vis=getattr(args, "vis", False), mesh=mesh)

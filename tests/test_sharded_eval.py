@@ -1,0 +1,86 @@
+"""Sharded (data-parallel) evaluation: bit-identical to the per-image loop.
+
+The reference's ``*_test.py`` are single-GPU; the mesh-sharded eval path is
+the TPU-native scale-out (one image per device per jitted step). These tests
+run on the conftest-forced 8-device CPU host platform.
+"""
+
+import dataclasses
+
+import numpy as np
+
+from tllod_tpu.config import Config
+
+
+def _tiny_cfg():
+    c = Config()
+    train = dataclasses.replace(
+        c.TRAIN, RPN_PRE_NMS_TOP_N=300, RPN_POST_NMS_TOP_N=50,
+        BATCH_SIZE=32, RPN_BATCHSIZE=32, BG_THRESH_LO=0.0)
+    test = dataclasses.replace(
+        c.TEST, RPN_PRE_NMS_TOP_N=150, RPN_POST_NMS_TOP_N=20, SCALES=(64,))
+    return dataclasses.replace(
+        c, TRAIN=train, TEST=test, POOLING_MODE="align",
+        ANCHOR_SCALES=(1, 2, 4), MAX_NUM_GT_BOXES=8)
+
+
+class _FakeDataset:
+    num_classes = 4
+    classes = ("__background__", "a", "b", "c")
+
+
+def _write_images(tmp_path, rng, sizes):
+    import cv2
+    roidb = []
+    for i, (h, w) in enumerate(sizes):
+        p = str(tmp_path / f"se{i}.jpg")
+        cv2.imwrite(p, (rng.rand(h, w, 3) * 255).astype(np.uint8))
+        roidb.append({"image": p, "height": h, "width": w})
+    return roidb
+
+
+def test_iter_chunks_buckets_and_tail(tmp_path, rng):
+    from tllod_tpu.data.loader import EvalLoader
+
+    cfg = _tiny_cfg()
+    # two distinct padded shapes → two buckets; 3 + 2 images
+    roidb = _write_images(tmp_path, rng,
+                          [(64, 128), (64, 128), (64, 128),
+                           (64, 256), (64, 256)])
+    loader = EvalLoader(roidb, cfg, pad_multiple=32, max_buckets=4)
+    chunks = list(loader.iter_chunks(4))
+    covered = sorted(i for idxs, _ in chunks for i in idxs)
+    assert covered == [0, 1, 2, 3, 4]          # every image exactly once
+    for idxs, batch in chunks:
+        assert batch["im_data"].shape[0] == 4  # fixed chunk size (tail padded)
+        assert len(idxs) <= 4
+        shapes = {batch["im_data"].shape[1:3]}
+        assert len(shapes) == 1                # one bucket per chunk
+
+
+def test_sharded_eval_matches_single_device(tmp_path):
+    """Runs the parity check in a PRISTINE subprocess (fresh 8-device CPU
+    platform, axon plugin scrubbed, XLA flags set at process start).
+
+    In-process is not reliable here: late in a full suite run, 8-virtual-
+    device dispatches can trip XLA:CPU's cross-device rendezvous hard
+    timeout on this 1-core host and SIGABRT the whole pytest process —
+    environmental, not a product defect (the same check passes standalone
+    and with capture off)."""
+    import os
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..")))
+    import __graft_entry__ as ge
+
+    env = ge._subprocess_env(8)
+    # generous rendezvous timeouts — effective only at process start
+    env["XLA_FLAGS"] += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+                         " --xla_cpu_collective_call_terminate_timeout_seconds=600")
+    script = os.path.join(os.path.dirname(__file__), "sharded_eval_check.py")
+    res = subprocess.run([sys.executable, script, str(tmp_path)], env=env,
+                         capture_output=True, text=True, timeout=1200)
+    assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-2000:])
+    assert "sharded eval parity OK" in res.stdout

@@ -264,19 +264,58 @@ class EvalLoader:
         assert fits, f"no eval bucket fits image of padded shape {(h, w)}"
         return min(fits, key=lambda b: b[0] * b[1])
 
+    def _load_one(self, entry: dict):
+        """(padded image (ph, pw, 3), im_info (3,), bucket) for one entry."""
+        im = load_image_bgr(entry["image"])
+        im, scale = prep_image(im, self.cfg.PIXEL_MEANS,
+                               self.cfg.TEST.SCALES[0])
+        h, w = im.shape[:2]
+        ph, pw = self._pick_bucket(_round_up(h, self.pad_multiple),
+                                   _round_up(w, self.pad_multiple))
+        im_data = np.zeros((ph, pw, 3), np.float32)
+        im_data[:h, :w] = im
+        return im_data, np.array([h, w, scale], np.float32), (ph, pw)
+
     def __iter__(self):
         for entry in self.roidb:
-            im = load_image_bgr(entry["image"])
-            im, scale = prep_image(im, self.cfg.PIXEL_MEANS,
-                                   self.cfg.TEST.SCALES[0])
-            h, w = im.shape[:2]
-            ph, pw = self._pick_bucket(_round_up(h, self.pad_multiple),
-                                       _round_up(w, self.pad_multiple))
-            im_data = np.zeros((1, ph, pw, 3), np.float32)
-            im_data[0, :h, :w] = im
-            yield {"im_data": im_data,
-                   "im_info": np.array([[h, w, scale]], np.float32),
+            im_data, im_info, _ = self._load_one(entry)
+            yield {"im_data": im_data[None],
+                   "im_info": im_info[None],
                    "img_id": entry.get("img_id"),
                    "gt_boxes": np.zeros((1, self.cfg.MAX_NUM_GT_BOXES, 5),
                                         np.float32),
                    "num_boxes": np.zeros((1,), np.int32)}
+
+    def iter_chunks(self, chunk: int):
+        """Bucket-grouped fixed-size chunks for the sharded eval path.
+
+        Yields ``(indices, batch)`` where ``indices`` are the roidb rows the
+        chunk covers (≤ ``chunk`` of them) and ``batch["im_data"]`` is a
+        (chunk, ph, pw, 3) stack from ONE bucket — same static shape for
+        every chunk of that bucket, so the device-sharded inference program
+        compiles once per bucket. Short tails are padded by repeating the
+        last image; padded rows are absent from ``indices``.
+        """
+        order: dict = {}
+        for i, entry in enumerate(self.roidb):
+            b = self._pick_bucket(
+                *self._padded_shape(entry["height"], entry["width"]))
+            order.setdefault(b, []).append(i)
+        for bucket, idxs in sorted(order.items()):
+            for s in range(0, len(idxs), chunk):
+                take = idxs[s:s + chunk]
+                ims, infos = [], []
+                for i in take:
+                    im_data, im_info, bk = self._load_one(self.roidb[i])
+                    assert bk == bucket
+                    ims.append(im_data)
+                    infos.append(im_info)
+                while len(ims) < chunk:          # repeat-pad the tail
+                    ims.append(ims[-1])
+                    infos.append(infos[-1])
+                yield take, {
+                    "im_data": np.stack(ims),
+                    "im_info": np.stack(infos),
+                    "gt_boxes": np.zeros((chunk, self.cfg.MAX_NUM_GT_BOXES,
+                                          5), np.float32),
+                    "num_boxes": np.zeros((chunk,), np.int32)}

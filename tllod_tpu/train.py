@@ -78,6 +78,41 @@ def make_train_step(apply_fn: Callable, loss_fn: Callable,
 # ---------------------------------------------------------------------------
 
 
+def _postprocess_single(rois, cls_prob, bbox_pred, im_info, *,
+                        num_classes: int, stds, means,
+                        nms_thresh: float, max_dets: int,
+                        class_agnostic: bool):
+    """Unbatched core of :func:`postprocess_detections`: rois (N, 5),
+    cls_prob (N, C), bbox_pred (N, 4C or 4), im_info (3,). vmap-safe —
+    the sharded eval path maps it over a device-sharded image batch."""
+    n = rois.shape[0]
+    scores = cls_prob                          # (N, C)
+    boxes = rois[:, 1:5]                       # (N, 4)
+
+    deltas = bbox_pred
+    if class_agnostic:
+        deltas = deltas * stds[None, :] + means[None, :]
+        deltas = jnp.tile(deltas, (1, num_classes))
+    else:
+        deltas = (deltas.reshape(n, num_classes, 4) * stds[None, None, :]
+                  + means[None, None, :]).reshape(n, num_classes * 4)
+    pred = bbox_transform_inv(boxes, deltas)             # (N, 4C)
+    pred = clip_boxes(pred, im_info[0], im_info[1])
+    pred = pred / im_info[2]                             # back to raw coords
+    pred = pred.reshape(n, num_classes, 4)
+
+    def per_class(c_boxes, c_scores):
+        idx, num = nms_fixed(c_boxes, c_scores, iou_threshold=nms_thresh,
+                             max_output=max_dets)
+        valid = jnp.arange(max_dets) < num
+        return (jnp.take(c_boxes, idx, axis=0),
+                jnp.take(c_scores, idx), valid)
+
+    out_boxes, out_scores, out_valid = jax.vmap(per_class, in_axes=(1, 1))(
+        pred, scores)
+    return out_boxes, out_scores, out_valid
+
+
 @functools.partial(jax.jit, static_argnames=("num_classes", "max_dets",
                                              "nms_thresh", "class_agnostic"))
 def postprocess_detections(rois, cls_prob, bbox_pred, im_info, *,
@@ -96,32 +131,25 @@ def postprocess_detections(rois, cls_prob, bbox_pred, im_info, *,
     Score thresholding (reference ``thresh=0.0``) and the cross-class
     max_per_image cap happen on host in the eval driver.
     """
-    n = rois.shape[1]
-    scores = cls_prob[0]                       # (N, C)
-    boxes = rois[0, :, 1:5]                    # (N, 4)
+    return _postprocess_single(
+        rois[0], cls_prob[0], bbox_pred[0], im_info[0],
+        num_classes=num_classes, stds=stds, means=means,
+        nms_thresh=nms_thresh, max_dets=max_dets,
+        class_agnostic=class_agnostic)
 
-    deltas = bbox_pred[0]
-    if class_agnostic:
-        deltas = deltas * stds[None, :] + means[None, :]
-        deltas = jnp.tile(deltas, (1, num_classes))
-    else:
-        deltas = (deltas.reshape(n, num_classes, 4) * stds[None, None, :]
-                  + means[None, None, :]).reshape(n, num_classes * 4)
-    pred = bbox_transform_inv(boxes, deltas)             # (N, 4C)
-    pred = clip_boxes(pred, im_info[0, 0], im_info[0, 1])
-    pred = pred / im_info[0, 2]                          # back to raw coords
-    pred = pred.reshape(n, num_classes, 4)
 
-    def per_class(c_boxes, c_scores):
-        idx, num = nms_fixed(c_boxes, c_scores, iou_threshold=nms_thresh,
-                             max_output=max_dets)
-        valid = jnp.arange(max_dets) < num
-        return (jnp.take(c_boxes, idx, axis=0),
-                jnp.take(c_scores, idx), valid)
-
-    out_boxes, out_scores, out_valid = jax.vmap(per_class, in_axes=(1, 1))(
-        pred, scores)
-    return out_boxes, out_scores, out_valid
+def postprocess_detections_batch(rois, cls_prob, bbox_pred, im_info, *,
+                                 num_classes: int, stds, means,
+                                 nms_thresh: float = 0.3,
+                                 max_dets: int = 100,
+                                 class_agnostic: bool = False):
+    """Batched :func:`postprocess_detections`: leading dim B on every input,
+    outputs (B, C, max_dets, …). Used by the sharded eval path, where B is
+    the device count and the batch dim is sharded over the mesh."""
+    return jax.vmap(functools.partial(
+        _postprocess_single, num_classes=num_classes, stds=stds, means=means,
+        nms_thresh=nms_thresh, max_dets=max_dets,
+        class_agnostic=class_agnostic))(rois, cls_prob, bbox_pred, im_info)
 
 
 def collect_detections(out_boxes, out_scores, out_valid, *,
