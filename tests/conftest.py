@@ -1,16 +1,27 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set XLA flags before jax initializes — so this executes at conftest
-import time, before any test module imports jax.
+Env vars alone are NOT enough on this container: a ``sitecustomize`` hook
+imports jax at *interpreter start* (to register the remote-TPU "axon"
+plugin), so ``JAX_PLATFORMS``/``XLA_FLAGS`` have already been read by the
+time conftest executes — mutating ``os.environ`` here is a silent no-op and
+the suite would run on the single tunnel TPU (or one CPU device). The
+config API still works until a backend actually initializes, so force the
+platform and the 8-device CPU host through it.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# belt-and-braces for environments without the early-import hook
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -44,6 +44,7 @@ class VGG16Features(nn.Module):
 
     frozen_blocks: int = 2
     dtype: jnp.dtype = jnp.float32
+    width: float = 1.0   # channel multiplier (vgg16_thin dryrun variant)
 
     @nn.compact
     def __call__(self, x, *, return_taps: bool = False,
@@ -56,6 +57,7 @@ class VGG16Features(nn.Module):
         lo, hi = stage_range
         taps = []
         for bi, (ch, n_convs) in enumerate(_VGG_BLOCKS):
+            ch = max(8, int(ch * self.width))
             if not (lo <= bi < hi):
                 continue
             if bi > 0:
@@ -77,15 +79,16 @@ class VGG16Head(nn.Module):
     (C, H, W) ordering so converted torch weights apply unchanged."""
 
     dtype: jnp.dtype = jnp.float32
+    dim: int = 4096      # fc width (vgg16_thin dryrun variant shrinks it)
 
     @nn.compact
     def __call__(self, pooled, *, deterministic: bool = True):
         r = pooled.shape[0]
         x = pooled.transpose(0, 3, 1, 2).reshape(r, -1)   # (R, C*P*P)
-        x = nn.Dense(4096, dtype=self.dtype, name="fc6")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc6")(x)
         x = nn.relu(x)
         x = nn.Dropout(0.5, deterministic=deterministic)(x)
-        x = nn.Dense(4096, dtype=self.dtype, name="fc7")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc7")(x)
         x = nn.relu(x)
         x = nn.Dropout(0.5, deterministic=deterministic)(x)
         return x
@@ -216,6 +219,12 @@ def backbone_for(net: str, dtype=jnp.float32
     """
     if net == "vgg16":
         return (VGG16Features(dtype=dtype), VGG16Head(dtype=dtype), 512, 4096)
+    if net == "vgg16_thin":
+        # width-reduced variant: identical graph/sharding structure at 1/16th
+        # the parameter bytes — used by the multi-chip dryrun so the 8-device
+        # emulated-CPU check isn't dominated by replicating 0.5 GB of params
+        return (VGG16Features(dtype=dtype, width=0.25),
+                VGG16Head(dtype=dtype, dim=512), 128, 512)
     if net in ("res50", "res101", "res152"):
         depth = int(net[3:])
         return (ResNetFeatures(depth=depth, dtype=dtype),
