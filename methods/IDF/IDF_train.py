@@ -22,11 +22,12 @@ from tllod_tpu.data import DetectionLoader, combined_roidb  # noqa: E402
 from tllod_tpu.data.factory import register_dataset, data_dir  # noqa: E402
 from tllod_tpu.data.voc import CLASS_SETS, VOCDetection  # noqa: E402
 from tllod_tpu.methods.idf import IDFModel, idf_loss  # noqa: E402
-from tllod_tpu.parallel.mesh import make_mesh, shard_batch  # noqa: E402
+from tllod_tpu.parallel.mesh import (check_batch_divisible, make_mesh,  # noqa: E402
+                                      shard_batch)
 from tllod_tpu.train import create_train_state, make_train_step  # noqa: E402
 from tllod_tpu.utils.checkpoint import (resume_train_state,  # noqa: E402
                                         save_checkpoint)
-from tllod_tpu.utils.optim import make_sgd, step_decay_schedule  # noqa: E402
+from tllod_tpu.utils.optim import build_optimizer  # noqa: E402
 from tllod_tpu.zoo import load_pretrained_backbone  # noqa: E402
 
 
@@ -104,16 +105,11 @@ def main():
                                       head_subtree=("head_aux",))
 
     steps_per_epoch = min(len(s_loader), len(t_loader))
-    schedule = step_decay_schedule(args.lr,
-                                   args.lr_decay_step * steps_per_epoch,
-                                   args.lr_decay_gamma)
-    tx = make_sgd(schedule, momentum=cfg.TRAIN.MOMENTUM,
-                  weight_decay=cfg.TRAIN.WEIGHT_DECAY,
-                  double_bias=cfg.TRAIN.DOUBLE_BIAS,
-                  bias_decay=cfg.TRAIN.BIAS_DECAY,
-                  clip_norm=10.0 if args.net == "vgg16" else None)
+    schedule, tx = build_optimizer(args, cfg, steps_per_epoch)
     state = create_train_state(params, tx)
     mesh = make_mesh() if args.m_chips else make_mesh(1)
+    if args.m_chips:
+        check_batch_divisible(args.batch_size, mesh)
 
     def apply_fn(p, rngs, src, tgt):
         return model.apply({"params": p}, src, tgt, training=True, rngs=rngs)

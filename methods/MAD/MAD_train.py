@@ -22,11 +22,12 @@ import numpy as np  # noqa: E402
 
 from tllod_tpu.data import DetectionLoader, combined_roidb  # noqa: E402
 from tllod_tpu.methods.mad import MADModel, mad_loss  # noqa: E402
-from tllod_tpu.parallel.mesh import make_mesh, shard_batch  # noqa: E402
+from tllod_tpu.parallel.mesh import (check_batch_divisible, make_mesh,  # noqa: E402
+                                      shard_batch)
 from tllod_tpu.train import create_train_state, make_train_step  # noqa: E402
 from tllod_tpu.utils.checkpoint import (resume_train_state,  # noqa: E402
                                         save_checkpoint)
-from tllod_tpu.utils.optim import make_sgd, step_decay_schedule  # noqa: E402
+from tllod_tpu.utils.optim import build_optimizer  # noqa: E402
 from tllod_tpu.zoo import load_pretrained_backbone  # noqa: E402
 
 
@@ -91,16 +92,11 @@ def main():
                                       subtree=("detector", "backbone"))
 
     steps_per_epoch = min(len(l1), len(l2))
-    schedule = step_decay_schedule(args.lr,
-                                   args.lr_decay_step * steps_per_epoch,
-                                   args.lr_decay_gamma)
-    tx = make_sgd(schedule, momentum=cfg.TRAIN.MOMENTUM,
-                  weight_decay=cfg.TRAIN.WEIGHT_DECAY,
-                  double_bias=cfg.TRAIN.DOUBLE_BIAS,
-                  bias_decay=cfg.TRAIN.BIAS_DECAY,
-                  clip_norm=10.0 if args.net == "vgg16" else None)
+    schedule, tx = build_optimizer(args, cfg, steps_per_epoch)
     state = create_train_state(params, tx)
     mesh = make_mesh() if args.m_chips else make_mesh(1)
+    if args.m_chips:
+        check_batch_divisible(args.batch_size, mesh)
 
     def apply_fn(p, rngs, s1, s2):
         out = model.apply({"params": p}, s1, s2, training=True, rngs=rngs)

@@ -20,13 +20,14 @@ from tllod_tpu.methods.pt_maf import (PTMAFModel, gt_footprint_mask,  # noqa: E4
                                       pt_maf_kd_loss, pt_maf_loss)
 from tllod_tpu.models.faster_rcnn import FasterRCNN  # noqa: E402
 from tllod_tpu.models.rpn import rpn_probs  # noqa: E402
-from tllod_tpu.parallel.mesh import make_mesh, shard_batch  # noqa: E402
+from tllod_tpu.parallel.mesh import (check_batch_divisible, make_mesh,  # noqa: E402
+                                      shard_batch)
 from tllod_tpu.train import create_train_state, make_train_step  # noqa: E402
 from tllod_tpu.utils.checkpoint import (detector_params,  # noqa: E402
                                         load_checkpoint,
                                         resume_train_state,
                                         save_checkpoint)
-from tllod_tpu.utils.optim import make_sgd, step_decay_schedule  # noqa: E402
+from tllod_tpu.utils.optim import build_optimizer  # noqa: E402
 from tllod_tpu.zoo import load_pretrained_backbone  # noqa: E402
 
 
@@ -83,16 +84,11 @@ def main():
                                                 params["detector"])
 
     steps_per_epoch = min(len(s_loader), len(t_loader))
-    schedule = step_decay_schedule(args.lr,
-                                   args.lr_decay_step * steps_per_epoch,
-                                   args.lr_decay_gamma)
-    tx = make_sgd(schedule, momentum=cfg.TRAIN.MOMENTUM,
-                  weight_decay=cfg.TRAIN.WEIGHT_DECAY,
-                  double_bias=cfg.TRAIN.DOUBLE_BIAS,
-                  bias_decay=cfg.TRAIN.BIAS_DECAY,
-                  clip_norm=10.0 if args.net == "vgg16" else None)
+    schedule, tx = build_optimizer(args, cfg, steps_per_epoch)
     state = create_train_state(params, tx)
     mesh = make_mesh() if args.m_chips else make_mesh(1)
+    if args.m_chips:
+        check_batch_divisible(args.batch_size, mesh)
 
     stride = cfg.FEAT_STRIDE[0]
     temperature = args.tmp
@@ -120,7 +116,10 @@ def main():
         t_rpn, t_cls = jax.lax.stop_gradient(
             teacher_kd(t_params, src, out["rois"]))
         h, w = out["kd_rpn_prob"].shape[1:3]
-        mask = gt_footprint_mask(src["gt_boxes"][0], h, w, stride)
+        # per-image footprint masks (B, h, w) — batched form of the
+        # reference's bs=1 mask (faster_rcnn_kd.py:58-68)
+        mask = jax.vmap(
+            lambda g: gt_footprint_mask(g, h, w, stride))(src["gt_boxes"])
         out["kd_loss"] = pt_maf_kd_loss(out["kd_rpn_prob"], t_rpn,
                                         out["kd_cls_prob"], t_cls,
                                         out["rois_label"], mask)

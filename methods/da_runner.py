@@ -19,12 +19,13 @@ from common import (DATASET_MAP, MetricLogger, build_test_parser,
 
 from tllod_tpu.data import DetectionLoader, combined_roidb
 from tllod_tpu.models.faster_rcnn import FasterRCNN
-from tllod_tpu.parallel.mesh import make_mesh, shard_batch
+from tllod_tpu.parallel.mesh import (check_batch_divisible, make_mesh,
+                                      shard_batch)
 from tllod_tpu.train import create_train_state, make_train_step
 from tllod_tpu.utils.checkpoint import (detector_params, load_checkpoint,
                                         restore_into, resume_train_state,
                                         save_checkpoint)
-from tllod_tpu.utils.optim import make_sgd, step_decay_schedule
+from tllod_tpu.utils.optim import build_optimizer
 from tllod_tpu.zoo import load_pretrained_backbone
 
 
@@ -73,14 +74,7 @@ def run_da_training(method_name: str, model_ctor: Callable,
                                           head_subtree=("detector", "head"))
 
     steps_per_epoch = min(len(s_loader), len(t_loader))
-    schedule = step_decay_schedule(args.lr,
-                                   args.lr_decay_step * steps_per_epoch,
-                                   args.lr_decay_gamma)
-    tx = make_sgd(schedule, momentum=cfg.TRAIN.MOMENTUM,
-                  weight_decay=cfg.TRAIN.WEIGHT_DECAY,
-                  double_bias=cfg.TRAIN.DOUBLE_BIAS,
-                  bias_decay=cfg.TRAIN.BIAS_DECAY,
-                  clip_norm=10.0 if args.net == "vgg16" else None)
+    schedule, tx = build_optimizer(args, cfg, steps_per_epoch)
     state = create_train_state(params, tx)
 
     output_dir = os.path.join(args.save_dir, args.net, args.dataset)
@@ -95,6 +89,8 @@ def run_da_training(method_name: str, model_ctor: Callable,
         print(f"resumed from {ckpt_path} (epoch {ckpt_epoch}, step {step})")
 
     mesh = make_mesh() if args.m_chips else make_mesh(1)
+    if args.m_chips:
+        check_batch_divisible(args.batch_size, mesh)
 
     def apply_fn(params, rngs, src, tgt):
         return model.apply({"params": params}, src, tgt, training=True,

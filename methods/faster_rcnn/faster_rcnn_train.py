@@ -16,11 +16,12 @@ import numpy as np  # noqa: E402
 
 from tllod_tpu.data import DetectionLoader, combined_roidb  # noqa: E402
 from tllod_tpu.models.faster_rcnn import FasterRCNN, detection_loss  # noqa: E402
-from tllod_tpu.parallel.mesh import make_mesh, shard_batch  # noqa: E402
+from tllod_tpu.parallel.mesh import (check_batch_divisible, make_mesh,  # noqa: E402
+                                      shard_batch)
 from tllod_tpu.train import create_train_state, make_train_step  # noqa: E402
 from tllod_tpu.utils.checkpoint import (resume_train_state,  # noqa: E402
                                         save_checkpoint)
-from tllod_tpu.utils.optim import make_sgd, step_decay_schedule  # noqa: E402
+from tllod_tpu.utils.optim import build_optimizer  # noqa: E402
 from tllod_tpu.zoo import load_pretrained_backbone  # noqa: E402
 
 
@@ -51,14 +52,7 @@ def main():
     params = load_pretrained_backbone(params, args.net)
 
     steps_per_epoch = len(loader)
-    schedule = step_decay_schedule(args.lr,
-                                   args.lr_decay_step * steps_per_epoch,
-                                   args.lr_decay_gamma)
-    tx = make_sgd(schedule, momentum=cfg.TRAIN.MOMENTUM,
-                  weight_decay=cfg.TRAIN.WEIGHT_DECAY,
-                  double_bias=cfg.TRAIN.DOUBLE_BIAS,
-                  bias_decay=cfg.TRAIN.BIAS_DECAY,
-                  clip_norm=10.0 if args.net == "vgg16" else None)
+    schedule, tx = build_optimizer(args, cfg, steps_per_epoch)
     state = create_train_state(params, tx)
 
     output_dir = os.path.join(args.save_dir, args.net, args.dataset)
@@ -73,6 +67,8 @@ def main():
         print(f"resumed from {ckpt} (epoch {ckpt_epoch}, step {step})")
 
     mesh = make_mesh() if args.m_chips else make_mesh(1)
+    if args.m_chips:
+        check_batch_divisible(args.batch_size, mesh)
 
     def apply_fn(params, rngs, batch):
         return model.apply({"params": params}, batch["im_data"],

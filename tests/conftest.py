@@ -22,6 +22,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# Persistent compile cache: the heavier jitted programs (method train steps
+# in test_learning.py, the sharded eval) compile once per code change and
+# replay from cache on repeat suite runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/tllod_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

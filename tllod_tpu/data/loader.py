@@ -307,7 +307,15 @@ class EvalLoader:
                 ims, infos = [], []
                 for i in take:
                     im_data, im_info, bk = self._load_one(self.roidb[i])
-                    assert bk == bucket
+                    if bk != bucket:
+                        raise RuntimeError(
+                            f"eval bucket mismatch for "
+                            f"{self.roidb[i].get('image', f'index {i}')}: "
+                            f"roidb metadata ({self.roidb[i]['height']}x"
+                            f"{self.roidb[i]['width']}) predicts bucket "
+                            f"{bucket} but the loaded file maps to {bk}; "
+                            "the cached roidb sizes are stale — delete the "
+                            "dataset's roidb cache and re-run.")
                     ims.append(im_data)
                     infos.append(im_info)
                 while len(ims) < chunk:          # repeat-pad the tail

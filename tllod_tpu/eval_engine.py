@@ -104,6 +104,15 @@ def _run_detection_sharded(model: FasterRCNN, params, dataset, roidb,
     num_classes = dataset.num_classes
     stds = jnp.asarray(cfg.TRAIN.BBOX_NORMALIZE_STDS, jnp.float32)
     means = jnp.asarray(cfg.TRAIN.BBOX_NORMALIZE_MEANS, jnp.float32)
+    if jax.process_count() > 1:
+        # Single-host only: indices here are global while fetch() gathers
+        # only addressable shards, and device_put of host numpy onto a mesh
+        # with non-addressable devices fails. Multi-host eval would need
+        # per-process roidb slicing (not implemented — the reference has no
+        # multi-host story to match either).
+        raise NotImplementedError(
+            "--shard_eval supports a single JAX process; run eval on one "
+            "host or drop --shard_eval under jax.distributed.")
     loader = EvalLoader(roidb, cfg)
     d = mesh.size
     axis = mesh.axis_names[0]
@@ -134,8 +143,9 @@ def _run_detection_sharded(model: FasterRCNN, params, dataset, roidb,
         A global ``np.asarray`` on a sharded array goes through an XLA
         rendezvous across all devices — on an oversubscribed host (the
         8-virtual-device CPU test mesh on one core) that rendezvous can
-        time out and abort the process, and on multi-host TPU it would
-        fetch non-addressable shards. Per-shard copies avoid both.
+        time out and abort the process. Per-shard copies avoid that.
+        (Single-host only — guarded above; with multiple processes this
+        would silently return just the local shards.)
         """
         shards = sorted(x.addressable_shards,
                         key=lambda s: s.index[0].start or 0)

@@ -47,13 +47,15 @@ class ATFModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        assert self.net == "vgg16", "ATF ships with the VGG16 backbone"
+        assert self.net in ("vgg16", "vgg16_thin"), \
+            "ATF ships with the VGG16 backbone"
         self.detector = FasterRCNN(
             num_classes=self.num_classes, cfg=self.cfg, net=self.net,
             class_agnostic=self.class_agnostic, dtype=self.dtype,
             name="detector")
-        self.backbone_anc = VGG16Features(dtype=self.dtype,
-                                          name="backbone_anc")
+        self.backbone_anc = VGG16Features(
+            dtype=self.dtype, name="backbone_anc",
+            width=(0.25 if self.net == "vgg16_thin" else 1.0))
         self.img_da3 = ImageDA(alpha=self.grl_alpha, dtype=self.dtype,
                                name="img_da3")
         self.img_da4 = ImageDA(alpha=self.grl_alpha, dtype=self.dtype,

@@ -124,12 +124,15 @@ class IDFModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        assert self.net == "vgg16", "IDF ships with the VGG16 backbone"
+        assert self.net in ("vgg16", "vgg16_thin"), \
+            "IDF ships with the VGG16 backbone"
         self.detector = FasterRCNN(
             num_classes=self.num_classes, cfg=self.cfg, net=self.net,
             class_agnostic=self.class_agnostic, dtype=self.dtype,
             name="detector")
-        self.backbone_b = VGG16Features(dtype=self.dtype, name="backbone_b")
+        self.backbone_b = VGG16Features(
+            dtype=self.dtype, name="backbone_b",
+            width=(0.25 if self.net == "vgg16_thin" else 1.0))
         self.netd_1 = NetDConv((256, 128, 128), kernel=1, stride=1,
                                name="netd_1")
         self.netd_1_b = NetDConv((256, 128, 128), kernel=1, stride=1,

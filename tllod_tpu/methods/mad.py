@@ -75,15 +75,17 @@ class ImgEncoder(nn.Module):
 
 
 class ImgDecoder(nn.Module):
-    """128 → 256(s2) → 512 → 1024(s2) → 512 transpose convs."""
+    """128 → 256(s2) → 512 → 1024(s2) → out_ch transpose convs; out_ch
+    follows the backbone's feature width (512 for the reference VGG16)."""
 
     dilation: int = 1
+    out_ch: int = 512
 
     @nn.compact
     def __call__(self, x):
         d = self.dilation
         plan = ((256, 2, True), (512, 1, True), (1024, 2, True),
-                (512, 1, False))
+                (self.out_ch, 1, False))
         for i, (ch, stride, bn) in enumerate(plan):
             x = nn.ConvTranspose(ch, (3, 3), strides=(stride, stride),
                                  kernel_dilation=(d, d), use_bias=False,
@@ -105,13 +107,16 @@ class InsEncoder(nn.Module):
 
 
 class InsDecoder(nn.Module):
-    """512 → 1024 → 2048 → 4096 (``AC.py:222-235``)."""
+    """512 → 1024 → 2048 → out_dim (``AC.py:222-235``); out_dim follows the
+    backbone head width (4096 for the reference VGG16)."""
+
+    out_dim: int = 4096
 
     @nn.compact
     def __call__(self, x):
         x = nn.relu(nn.Dense(1024, name="fc1")(x))
         x = nn.relu(nn.Dense(2048, name="fc2")(x))
-        return nn.Dense(4096, name="fc3")(x)
+        return nn.Dense(self.out_dim, name="fc3")(x)
 
 
 class InstanceDAEn(nn.Module):
@@ -163,15 +168,19 @@ class MADModel(nn.Module):
             name="detector")
         self.img_da = ImageDA(alpha=self.grl_alpha, name="img_da")
         self.ins_da = InstanceDA(alpha=self.grl_alpha, name="ins_da")
+        from tllod_tpu.models.backbones import backbone_dims
+        feat_ch, head_dim = backbone_dims(self.net)
         for v in (1, 2, 3):
             setattr(self, f"img_enc{v}", ImgEncoder(dilation=v,
                                                     name=f"img_enc{v}"))
             setattr(self, f"img_dec{v}", ImgDecoder(dilation=v,
+                                                    out_ch=feat_ch,
                                                     name=f"img_dec{v}"))
             setattr(self, f"img_da_en{v}", ImageDA(alpha=self.grl_alpha,
                                                    name=f"img_da_en{v}"))
             setattr(self, f"ins_enc{v}", InsEncoder(name=f"ins_enc{v}"))
-            setattr(self, f"ins_dec{v}", InsDecoder(name=f"ins_dec{v}"))
+            setattr(self, f"ins_dec{v}", InsDecoder(out_dim=head_dim,
+                                                    name=f"ins_dec{v}"))
             setattr(self, f"ins_da_en{v}", InstanceDAEn(
                 alpha=self.grl_alpha, name=f"ins_da_en{v}"))
         self.ln_img = nn.LayerNorm(reduction_axes=(1, 2),

@@ -150,13 +150,15 @@ class PAATFModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        assert self.net == "vgg16", "PA-ATF ships with the VGG16 backbone"
+        assert self.net in ("vgg16", "vgg16_thin"), \
+            "PA-ATF ships with the VGG16 backbone"
         self.detector = FasterRCNN(
             num_classes=self.num_classes, cfg=self.cfg, net=self.net,
             class_agnostic=self.class_agnostic, dtype=self.dtype,
             name="detector")
-        self.backbone_anc = VGG16Features(dtype=self.dtype,
-                                          name="backbone_anc")
+        self.backbone_anc = VGG16Features(
+            dtype=self.dtype, name="backbone_anc",
+            width=(0.25 if self.net == "vgg16_thin" else 1.0))
         self.img_da3 = PartialImageDA(alpha=self.grl_alpha, name="img_da3")
         self.img_da4 = PartialImageDA(alpha=self.grl_alpha, name="img_da4")
         self.img_da5 = PartialImageDA(alpha=self.grl_alpha, name="img_da5")
@@ -222,11 +224,15 @@ class PAATFModel(nn.Module):
         out["tgt_da_ins_loss"] = jnp.abs(
             t_ins - (tgt["domain"] > 0).astype(jnp.float32)[0]).mean()
 
-        # CLUB partial-alignment on gt-RoI features of the ancillary branch
-        gt = src["gt_boxes"][0]
+        # CLUB partial-alignment on gt-RoI features of the ancillary branch.
+        # GT boxes from EVERY batch image (flattened with their batch index
+        # in the rois' first column); at bs=1 this is identical to the
+        # reference's single-image pooling (lib/PA_ATF/faster_rcnn.py:387).
+        b, g = src["gt_boxes"].shape[:2]
+        gt = src["gt_boxes"].reshape(b * g, 5)
         valid = gt[:, 2] > gt[:, 0]
-        gt_rois = jnp.concatenate(
-            [jnp.zeros((gt.shape[0], 1), gt.dtype), gt[:, :4]], axis=1)
+        bidx = jnp.repeat(jnp.arange(b, dtype=gt.dtype), g)[:, None]
+        gt_rois = jnp.concatenate([bidx, gt[:, :4]], axis=1)
         club_taps = (s_taps_anc if self.club_branch == "ancillary"
                      else s_taps_main)
         pm = jnp.float32(0.0)
@@ -235,7 +241,8 @@ class PAATFModel(nn.Module):
                     (4, 8, 16))):
             pooled = roi_pool(feat, gt_rois, out_size=7,
                               spatial_scale=1.0 / stride)
-            mask = jax.lax.stop_gradient(masks[i])[0]      # (1, 1, C)
+            mask = jax.lax.stop_gradient(masks[i])         # (B, 1, 1, C)
+            mask = jnp.repeat(mask, g, axis=0)             # row i ↔ roi i's image
             fa = pooled * mask
             fs = pooled * (1.0 - mask)
             pm = pm + club(fa, fs, valid,

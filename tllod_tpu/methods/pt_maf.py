@@ -198,7 +198,9 @@ def pt_maf_kd_loss(student_rpn, teacher_rpn, student_cls, teacher_cls,
     cls_kl = (pos[:, None] * student_cls
               * jnp.log((student_cls + eps) / (teacher_cls + eps))).sum()
     cls_kl = cls_kl / (pos.sum() + 1.0)
-    m = mask[None, :, :, None, None]
+    # mask: (B, H, W) per-image gt footprints (batched form of the
+    # reference's single-image mask, faster_rcnn_kd.py:58-68)
+    m = mask[:, :, :, None, None]
     rpn_kl = (m * student_rpn
               * jnp.log((student_rpn + eps) / (teacher_rpn + eps))).sum()
     rpn_kl = rpn_kl / (mask.sum() + 1.0)

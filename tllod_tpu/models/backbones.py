@@ -209,6 +209,14 @@ class ResNetHead(nn.Module):
         return x.mean(axis=(1, 2))
 
 
+def backbone_dims(net: str) -> Tuple[int, int]:
+    """(feature_channels, head_dim) without constructing modules — for
+    callers inside flax ``setup`` that only need the widths."""
+    return {"vgg16": (512, 4096), "vgg16_thin": (128, 512),
+            "res50": (1024, 2048), "res101": (1024, 2048),
+            "res152": (1024, 2048)}[net]
+
+
 def backbone_for(net: str, dtype=jnp.float32
                  ) -> Tuple[nn.Module, nn.Module, int, int]:
     """Factory: name → (features, head, feature_channels, head_dim).

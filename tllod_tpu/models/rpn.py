@@ -180,9 +180,12 @@ def anchor_target(gt_boxes: jnp.ndarray, im_info: jnp.ndarray,
 
         # Subsample: disable excess fg, then excess bg (reference :118-145).
         # "rank(pr) < k" == "pr >= k-th largest" for i.i.d. uniform
-        # priorities (ties a.s. impossible), so a top_k of k ≤ RPN_BATCHSIZE
-        # replaces two full argsorts over all K*A anchors (~2.5× faster
-        # anchor_target on a v5e at 600×1200).
+        # priorities, so a top_k of k ≤ RPN_BATCHSIZE replaces two full
+        # argsorts over all K*A anchors (~2.5× faster anchor_target on a
+        # v5e at 600×1200). Float32 uniforms DO collide at ~20k draws
+        # (birthday bound), and a tie exactly at the top_k threshold keeps
+        # a few more than the quota — benign, since the loss normalizers
+        # below use the actual selected counts, not the nominal quota.
         n = anchors.shape[0]
         k_fg, k_bg = jax.random.split(key)
         fg = labels == 1

@@ -88,7 +88,13 @@ def _pallas_forward(feat: jnp.ndarray, rois: jnp.ndarray, *, out_size: int,
     # wider blocks fail with "cannot statically prove that index in
     # dimension 0 is a multiple of 8" (seen at small eval maps, where the
     # old VMEM-budget heuristic left CB at 512).
-    c_block = 128 if c % 128 == 0 else c
+    # Largest divisor of C that is ≤ one lane tile; for C not a multiple of
+    # 128 a full-width block would hit exactly the Mosaic limitation above,
+    # so block down to a clean divisor instead (e.g. C=192 → 96).
+    if c % 128 == 0:
+        c_block = 128
+    else:
+        c_block = max(d for d in range(1, min(c, 128) + 1) if c % d == 0)
     n_cb = c // c_block
 
     out = pl.pallas_call(

@@ -38,7 +38,24 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def check_batch_divisible(batch_size: int, mesh: Mesh) -> None:
+    """Fail fast (instead of an opaque XLA sharding error at device_put
+    time) when the global batch can't be split evenly over the data axis.
+    The reference's ``nn.DataParallel`` silently imbalanced such batches;
+    here dim-0 sharding requires exact divisibility."""
+    n = mesh.size
+    if batch_size % n != 0:
+        raise ValueError(
+            f"--mGPUs: global batch size {batch_size} is not divisible by "
+            f"the {n}-device mesh; use --bs with a multiple of {n} "
+            f"(e.g. --bs {((batch_size // n) + 1) * n}).")
+
+
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, Any]:
     """Place a host batch dict onto the mesh, sharded on dim 0."""
     s = batch_sharding(mesh)
+    for v in batch.values():
+        if hasattr(v, "shape") and v.ndim >= 1:
+            check_batch_divisible(v.shape[0], mesh)
+            break
     return {k: jax.device_put(v, s) for k, v in batch.items()}

@@ -100,12 +100,87 @@ def make_sgd(learning_rate: Callable[[int], float] | float, *,
     return optax.chain(*parts)
 
 
+def make_adam(learning_rate: Callable[[int], float] | float, *,
+              b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+              weight_decay: float = 5e-4,
+              double_bias: bool = True, bias_decay: bool = False,
+              clip_norm: Optional[float] = None,
+              trainable: Callable = default_trainable
+              ) -> optax.GradientTransformation:
+    """Reference ``--o adam`` branch (``methods/DAF/DAF_train.py:320-322``):
+    ``torch.optim.Adam(params)`` over the same per-parameter groups as SGD —
+    per-group lr (bias ×2 under DOUBLE_BIAS), L2 weight decay folded into the
+    gradient *before* the moment estimates (torch-Adam semantics, so
+    ``add_decayed_weights`` precedes ``scale_by_adam`` here), decay skipped
+    on biases unless BIAS_DECAY."""
+    parts = [mask_updates(trainable)]
+    if clip_norm is not None:
+        parts.append(optax.clip_by_global_norm(clip_norm))
+    if weight_decay:
+        def decay_mask(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda p, v: (trainable(p, v)
+                              and (bias_decay or not is_bias(p, v))),
+                params)
+        parts.append(optax.add_decayed_weights(weight_decay, mask=decay_mask))
+    parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    parts.append(optax.scale_by_learning_rate(learning_rate))
+    if double_bias:
+        def bias_mask(params):
+            return jax.tree_util.tree_map_with_path(is_bias, params)
+        parts.append(optax.masked(optax.scale(2.0), bias_mask))
+    parts.append(mask_updates(trainable))
+    return optax.chain(*parts)
+
+
 def step_decay_schedule(base_lr: float, decay_step: int,
                         gamma: float = 0.1) -> Callable[[Any], Any]:
-    """lr × gamma once at ``decay_step`` (reference decays once at
-    --lr_decay_step epochs, ``DAF_train.py:362-365``)."""
+    """lr × gamma once at ``decay_step`` (single-decay form; see
+    ``epoch_decay_schedule`` for the reference's repeating cadence)."""
 
     def schedule(count):
         return base_lr * jnp.where(count >= decay_step, gamma, 1.0)
 
     return schedule
+
+
+def epoch_decay_schedule(base_lr: float, steps_per_epoch: int,
+                         lr_decay_step: int, gamma: float = 0.1
+                         ) -> Callable[[Any], Any]:
+    """The reference's repeating decay cadence: at the top of every epoch
+    with ``epoch % (lr_decay_step + 1) == 0`` the lr is multiplied by gamma
+    (``methods/DAF/DAF_train.py:362-365``, epochs numbered from 1) — i.e.
+    first decay entering epoch ``lr_decay_step + 1``, again at
+    ``2·(lr_decay_step+1)``, and so on. Driven by the optimizer step count
+    so resume reconstructs the position exactly."""
+    period = max(int(lr_decay_step) + 1, 1)
+    spe = max(int(steps_per_epoch), 1)
+
+    def schedule(count):
+        epoch = count // spe + 1          # 0-based step → 1-based epoch
+        n_decays = epoch // period
+        return base_lr * gamma ** n_decays
+
+    return schedule
+
+
+def build_optimizer(args, cfg, steps_per_epoch: int,
+                    trainable: Callable = default_trainable):
+    """One factory for every train CLI: honors ``--o sgd|adam`` (reference
+    ``DAF_train.py:320-325``), the repeating LR-decay cadence, and the
+    vgg16-only gradient clip. Returns ``(schedule, tx)``."""
+    schedule = epoch_decay_schedule(args.lr, steps_per_epoch,
+                                    args.lr_decay_step, args.lr_decay_gamma)
+    clip = 10.0 if args.net == "vgg16" else None
+    opt = getattr(args, "optimizer", "sgd")
+    common = dict(weight_decay=cfg.TRAIN.WEIGHT_DECAY,
+                  double_bias=cfg.TRAIN.DOUBLE_BIAS,
+                  bias_decay=cfg.TRAIN.BIAS_DECAY,
+                  clip_norm=clip, trainable=trainable)
+    if opt == "adam":
+        tx = make_adam(schedule, **common)
+    elif opt == "sgd":
+        tx = make_sgd(schedule, momentum=cfg.TRAIN.MOMENTUM, **common)
+    else:
+        raise ValueError(f"unknown optimizer {opt!r} (expected sgd|adam)")
+    return schedule, tx
