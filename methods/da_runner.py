@@ -116,18 +116,23 @@ def run_da_training(method_name: str, model_ctor: Callable,
             step += 1
             if profiler is not None:
                 profiler.tick(step)
-            logger.update(step, epoch, float(schedule(step)), metrics)
+            logger.update(step, epoch,
+                          lambda s=step: schedule(s), metrics)
             if args.max_steps and step >= args.max_steps:
                 break
-        save_checkpoint(
-            os.path.join(output_dir,
-                         f"{method_name}_{args.session}_{epoch}_{step}"),
-            params=state.params, opt_state=state.opt_state, step=step,
-            epoch=epoch, session=args.session,
-            meta={"pooling_mode": cfg.POOLING_MODE,
-                  "class_agnostic": args.class_agnostic})
-        print(f"saved checkpoint for epoch {epoch}")
-        if args.max_steps and step >= args.max_steps:
+        done = ((args.max_steps and step >= args.max_steps)
+                or epoch == args.max_epochs)
+        if done or epoch % max(1, getattr(args, "save_epoch_interval",
+                                          1)) == 0:
+            save_checkpoint(
+                os.path.join(output_dir,
+                             f"{method_name}_{args.session}_{epoch}_{step}"),
+                params=state.params, opt_state=state.opt_state, step=step,
+                epoch=epoch, session=args.session,
+                meta={"pooling_mode": cfg.POOLING_MODE,
+                      "class_agnostic": args.class_agnostic})
+            print(f"saved checkpoint for epoch {epoch}")
+        if done:
             break
 
 

@@ -159,6 +159,10 @@ class MADModel(nn.Module):
     net: str = "vgg16"
     class_agnostic: bool = False
     grl_alpha: float = 0.1
+    # fixed upsample target for the multi-view encoders (reference
+    # lib/MAD/faster_rcnn.py:92); tests shrink it — the 1024-ch dilated
+    # ConvTranspose gradients at 40×76 are ~170 s/step on XLA:CPU
+    img_size: tuple = IMG_SIZE
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -273,8 +277,8 @@ class MADModel(nn.Module):
         out["da_cst_loss"] = cst1 + cst2
 
         # multi-view machinery
-        up1 = _bilinear_resize(out1["base_feat"], IMG_SIZE)
-        up2 = _bilinear_resize(out2["base_feat"], IMG_SIZE)
+        up1 = _bilinear_resize(out1["base_feat"], self.img_size)
+        up2 = _bilinear_resize(out2["base_feat"], self.img_size)
         mv1, rec1, cls1, scores1 = self._image_views(up1, zero)
         mv2, rec2, cls2, scores2 = self._image_views(up2, one)
         out["img_mv_recon_loss"] = rec1 + rec2
