@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Full-width + dual-backbone multi-chip validation (VERDICT r2 item 2).
+
+The driver's ``dryrun_multichip`` deliberately runs the thin-width DAF step
+(identical partitioned program, 1/16 the parameter bytes) so the check is
+fast. This tool closes the remaining gap by actually executing, on an
+8-virtual-device CPU mesh:
+
+  1. ``fullwidth_daf`` — the FULL-WIDTH VGG16 DAF train step (the flagship):
+     ~134M-param backbone replicated across all 8 devices, batch dim
+     sharded, one real optimizer update.
+  2. ``atf_thin`` — the ATF step (thin width): the DUAL-BACKBONE program
+     family (ATF/PA-ATF/IDF all carry a second full conv stack), whose
+     memory/collective shapes differ from single-backbone DAF.
+
+Run from the repo root:  python tools/mesh_fullwidth_check.py
+Writes MULTICHIP_FULLWIDTH.json with per-check status + timings.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_DEVICES = 8
+
+
+def _impl(mode: str) -> None:
+    """Body — must run under a forced-CPU host platform (subprocess)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import __graft_entry__ as ge
+    from tllod_tpu.parallel.mesh import make_mesh
+    from tllod_tpu.train import create_train_state, make_train_step
+    from tllod_tpu.utils.optim import make_sgd
+
+    t_all = time.time()
+    cfg = ge._tiny_cfg(post_train=32, post_test=16, pre=128, roi_batch=16)
+    if mode == "fullwidth_daf":
+        from tllod_tpu.methods.daf import DAFModel, daf_loss
+        model = DAFModel(num_classes=9, cfg=cfg, net="vgg16")
+        loss_fn = daf_loss
+    elif mode == "atf_thin":
+        from tllod_tpu.methods.atf import ATFModel, atf_loss
+        model = ATFModel(num_classes=9, cfg=cfg, net="vgg16_thin")
+        loss_fn = atf_loss
+    else:
+        raise ValueError(mode)
+
+    src = ge._make_batch(N_DEVICES, 128, 128, domain=1, seed=0)
+    tgt = ge._make_batch(N_DEVICES, 128, 128, domain=0, seed=1)
+    init_fn = jax.jit(lambda s, t: model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)}, s, t, training=True))
+    params = init_fn(src, tgt)["params"]
+    jax.block_until_ready(params)
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(params))
+    print(f"[{mode}] init done in {time.time() - t_all:.0f}s "
+          f"({n_params / 1e6:.1f}M params)", flush=True)
+
+    cpus = jax.devices("cpu")
+    assert len(cpus) >= N_DEVICES
+    mesh = make_mesh(N_DEVICES, devices=cpus)
+    bs = NamedSharding(mesh, P("data"))
+    src = {k: jax.device_put(v, bs) for k, v in src.items()}
+    tgt = {k: jax.device_put(v, bs) for k, v in tgt.items()}
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+
+    tx = make_sgd(0.001, clip_norm=10.0)
+    state = create_train_state(params, tx)
+
+    def apply_fn(p, rngs, src, tgt):
+        return model.apply({"params": p}, src, tgt, training=True, rngs=rngs)
+
+    step = make_train_step(apply_fn, loss_fn, tx)
+    t1 = time.time()
+    new_state, metrics = step(state, jax.random.PRNGKey(7), src, tgt)
+    jax.block_until_ready(new_state.params)
+    loss = float(metrics["loss"])
+    print(f"[{mode}] 8-way sharded step compile+run in "
+          f"{time.time() - t1:.0f}s; loss {loss:.4f}", flush=True)
+    assert np.isfinite(loss), f"non-finite loss: {loss}"
+    print(json.dumps({"mode": mode, "loss": loss,
+                      "params_m": round(n_params / 1e6, 1),
+                      "step_s": round(time.time() - t1, 1),
+                      "total_s": round(time.time() - t_all, 1)}))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--impl", default=None)
+    ap.add_argument("--modes", default="fullwidth_daf,atf_thin")
+    args = ap.parse_args()
+    if args.impl:
+        _impl(args.impl)
+        return
+
+    import __graft_entry__ as ge
+    results = {"n_devices": N_DEVICES, "checks": {}}
+    for mode in args.modes.split(","):
+        t0 = time.time()
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--impl", mode],
+            cwd=REPO, env=ge._subprocess_env(N_DEVICES),
+            capture_output=True, text=True)
+        tail = "\n".join((res.stdout + res.stderr).splitlines()[-6:])
+        detail = None
+        for line in reversed(res.stdout.splitlines()):
+            if line.startswith("{"):
+                try:
+                    detail = json.loads(line)
+                except ValueError:
+                    pass
+                break
+        results["checks"][mode] = {
+            "ok": res.returncode == 0, "rc": res.returncode,
+            "wall_s": round(time.time() - t0, 1),
+            "detail": detail, "tail": tail if res.returncode else None}
+        print(f"{mode}: {'OK' if res.returncode == 0 else 'FAIL'} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+    out = os.path.join(REPO, "MULTICHIP_FULLWIDTH.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {out}")
+    if not all(c["ok"] for c in results["checks"].values()):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
