@@ -36,6 +36,34 @@ def create_train_state(params, tx: optax.GradientTransformation
                       step=jnp.zeros((), jnp.int32))
 
 
+def _step_body(apply_fn: Callable, loss_fn: Callable,
+               tx: optax.GradientTransformation,
+               state: TrainState, rng: jax.Array, batch_args):
+    """One SGD step: forward + backward + update (traced, not jitted)."""
+    rng = jax.random.fold_in(rng, state.step)
+    sampling, dropout = jax.random.split(rng)
+
+    def compute(params):
+        out = apply_fn(params,
+                       {"sampling": sampling, "dropout": dropout},
+                       *batch_args)
+        loss = loss_fn(out)
+        metrics = {k: v for k, v in out.items()
+                   if k.endswith("loss") or k.endswith("loss_cls")
+                   or k.endswith("loss_box") or k.startswith("dist")}
+        metrics["loss"] = loss
+        # fg count like the reference's display (DAF_train.py:425-428)
+        if out.get("rois_label") is not None:
+            metrics["fg_cnt"] = (out["rois_label"] > 0).sum()
+        return loss, metrics
+
+    (_, metrics), grads = jax.value_and_grad(
+        compute, has_aux=True)(state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), metrics
+
+
 def make_train_step(apply_fn: Callable, loss_fn: Callable,
                     tx: optax.GradientTransformation,
                     *, donate: bool = True) -> Callable:
@@ -47,30 +75,41 @@ def make_train_step(apply_fn: Callable, loss_fn: Callable,
     """
 
     def step(state: TrainState, rng: jax.Array, *batch_args):
-        rng = jax.random.fold_in(rng, state.step)
-        sampling, dropout = jax.random.split(rng)
-
-        def compute(params):
-            out = apply_fn(params,
-                           {"sampling": sampling, "dropout": dropout},
-                           *batch_args)
-            loss = loss_fn(out)
-            metrics = {k: v for k, v in out.items()
-                       if k.endswith("loss") or k.endswith("loss_cls")
-                       or k.endswith("loss_box") or k.startswith("dist")}
-            metrics["loss"] = loss
-            # fg count like the reference's display (DAF_train.py:425-428)
-            if out.get("rois_label") is not None:
-                metrics["fg_cnt"] = (out["rois_label"] > 0).sum()
-            return loss, metrics
-
-        (_, metrics), grads = jax.value_and_grad(
-            compute, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), metrics
+        return _step_body(apply_fn, loss_fn, tx, state, rng, batch_args)
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_train_step_multi(apply_fn: Callable, loss_fn: Callable,
+                          tx: optax.GradientTransformation,
+                          *, donate: bool = True) -> Callable:
+    """Build a fused K-step train program: ``lax.scan`` over K stacked
+    batches inside ONE jitted dispatch.
+
+    The reference dispatches one CUDA graph per step from Python
+    (``methods/DAF/DAF_train.py:367-408``); on this TPU the per-dispatch
+    host+tunnel cost is ~10 ms — comparable to the device step itself — so
+    a Python-loop trainer is host-bound and hides on-device wins (this is
+    why bf16 looked like a 9-17% gain in round 2). Scanning K steps on
+    device amortizes the dispatch to ~1/K and lets the device run
+    back-to-back.
+
+    Returns ``multi_step(state, rng, *stacked_batch_args) →
+    (state, metrics)`` where every batch arg carries a leading K axis and
+    each returned metric is stacked over K (metrics[k][i] = step i's value,
+    so displays/logging can show every step, matching the per-step loop).
+    The per-step RNG folds in the global ``state.step`` exactly like
+    :func:`make_train_step` — a K-fused run reproduces the per-step
+    trajectory bit-for-bit (same fold_in sequence).
+    """
+
+    def multi_step(state: TrainState, rng: jax.Array, *stacked_batch_args):
+        def body(state, batch_args):
+            return _step_body(apply_fn, loss_fn, tx, state, rng, batch_args)
+
+        return jax.lax.scan(body, state, stacked_batch_args)
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
 
 
 # ---------------------------------------------------------------------------

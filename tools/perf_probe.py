@@ -57,6 +57,10 @@ def main():
     ap.add_argument("--batch", type=int, default=1,
                     help="backbone probe batch size (batch-2 vs 2x batch-1 "
                          "decides whether fusing src+tgt conv passes pays)")
+    ap.add_argument("--fused", type=int, default=0,
+                    help="daf probe only: scan this many steps inside ONE "
+                         "jitted dispatch (isolates per-dispatch host/tunnel "
+                         "overhead from device step time)")
     args = ap.parse_args()
 
     import dataclasses
@@ -208,20 +212,38 @@ def main():
         def apply_fn(p, r, s, t):
             return model.apply({"params": p}, s, t, training=True, rngs=r)
 
-        step = make_train_step(apply_fn, daf_loss, tx, donate=False)
         rng = jax.random.PRNGKey(3)
         s = jax.device_put(src)
         t = jax.device_put(tgt)
-        state, m = step(state, rng, s, t)
-        float(m["loss"])
-        t1 = time.perf_counter()
-        for _ in range(args.steps):
+        if args.fused > 1:
+            from tllod_tpu.train import make_train_step_multi
+            k = args.fused
+            stack = lambda batch: jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x[None], (k,) + x.shape), batch)
+            ks, kt = stack(s), stack(t)
+            mstep = make_train_step_multi(apply_fn, daf_loss, tx,
+                                          donate=False)
+            state, m = mstep(state, rng, ks, kt)
+            float(m["loss"][-1])
+            n_calls = max(1, args.steps // k)
+            t1 = time.perf_counter()
+            for _ in range(n_calls):
+                state, m = mstep(state, rng, ks, kt)
+            float(m["loss"][-1])
+            ms = (time.perf_counter() - t1) / (n_calls * k) * 1e3
+        else:
+            step = make_train_step(apply_fn, daf_loss, tx, donate=False)
             state, m = step(state, rng, s, t)
-        float(m["loss"])
-        ms = (time.perf_counter() - t1) / args.steps * 1e3
+            float(m["loss"])
+            t1 = time.perf_counter()
+            for _ in range(args.steps):
+                state, m = step(state, rng, s, t)
+            float(m["loss"])
+            ms = (time.perf_counter() - t1) / args.steps * 1e3
         ips = 1e3 / ms * 2 * b
 
     print(json.dumps({"probe": args.probe, "bf16": args.bf16,
+                      "fused": args.fused,
                       "ms_per_step": round(ms, 2),
                       "images_per_sec": round(ips, 2)}))
 
