@@ -28,6 +28,13 @@ def main():
     import jax
     import numpy as np
 
+    # Persistent compile cache: the eval program's first XLA:TPU compile is
+    # minutes-long; caching makes repeat bench runs (and the driver's
+    # end-of-round run after a dev session already compiled it) near-instant.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tllod_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     from __graft_entry__ import _make_batch
     from tllod_tpu.config import Config, cfg_from_file
     from tllod_tpu.methods.daf import DAFModel, daf_loss

@@ -98,6 +98,11 @@ def build_test_parser(description: str) -> argparse.ArgumentParser:
                    help="data-parallel eval over all devices (one image per "
                         "chip per step; no reference counterpart — *_test.py "
                         "are single-GPU)")
+    p.add_argument("--eval_bs", default=1, type=int,
+                   help="images per inference dispatch (per device with "
+                        "--shard_eval); batching amortizes dispatch overhead "
+                        "— no reference counterpart (*_test.py are strictly "
+                        "per-image)")
     p.add_argument("--vis", action="store_true",
                    help="write annotated detection images to "
                         "<output_dir>/vis (reference DAF_test.py:92)")

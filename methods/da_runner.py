@@ -183,4 +183,5 @@ def run_da_eval(args) -> dict:
         os.path.join(args.output_dir, args.net, args.dataset),
         max_per_image=args.max_per_image,
         class_agnostic=args.class_agnostic,
-        vis=getattr(args, "vis", False), mesh=mesh)
+        vis=getattr(args, "vis", False), mesh=mesh,
+        eval_batch=getattr(args, "eval_bs", 1))

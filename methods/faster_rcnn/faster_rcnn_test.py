@@ -49,7 +49,8 @@ def main():
     evaluate_model(model, params, dataset, roidb, cfg,
                    os.path.join(args.output_dir, args.net, args.dataset),
                    max_per_image=args.max_per_image,
-                   class_agnostic=args.class_agnostic)
+                   class_agnostic=args.class_agnostic,
+                   eval_batch=getattr(args, "eval_bs", 1))
 
 
 if __name__ == "__main__":

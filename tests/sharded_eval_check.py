@@ -65,6 +65,15 @@ def main(workdir: str) -> int:
 
     single = run_detection(model, params, dataset, roidb, cfg,
                            verbose_every=0)
+    # single-device batched path (--eval_bs): same detections as per-image
+    batched = run_detection(model, params, dataset, roidb, cfg,
+                            verbose_every=0, eval_batch=3)
+    for c in range(1, dataset.num_classes):
+        for i in range(len(roidb)):
+            if single[c][i].shape != batched[c][i].shape or not np.allclose(
+                    single[c][i], batched[c][i], rtol=1e-5, atol=1e-4):
+                print(f"FAIL: eval_batch mismatch class {c} image {i}")
+                return 5
     mesh = make_mesh()
     if mesh.size != 8:
         print(f"FAIL: expected 8 devices, got {mesh.size}")

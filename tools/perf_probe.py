@@ -27,6 +27,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/tllod_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 def _force(out):
     """Fetch one scalar derived from ``out`` — the axon TPU transport is
@@ -51,12 +55,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--probe", default="backbone",
                     choices=["backbone", "detector", "daf", "rpnhead",
-                             "proposal", "anchortgt"])
+                             "proposal", "anchortgt",
+                             "eval", "evalfwd", "evalpost"])
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--batch", type=int, default=1,
                     help="backbone probe batch size (batch-2 vs 2x batch-1 "
                          "decides whether fusing src+tgt conv passes pays)")
+    ap.add_argument("--stages", default=None,
+                    help="backbone probe only: 'lo,hi' conv-block range "
+                         "(e.g. 0,2 = conv1+conv2) to localize where the "
+                         "backbone's time goes")
+    ap.add_argument("--precision", default=None,
+                    choices=["bfloat16", "tensorfloat32", "float32"],
+                    help="jax default_matmul_precision for the probe")
     ap.add_argument("--fused", type=int, default=0,
                     help="daf probe only: scan this many steps inside ONE "
                          "jitted dispatch (isolates per-dispatch host/tunnel "
@@ -84,18 +96,36 @@ def main():
     if args.probe == "backbone":
         from tllod_tpu.models.backbones import VGG16Features
         net = VGG16Features(dtype=dtype)
+        stages = (tuple(int(v) for v in args.stages.split(","))
+                  if args.stages else (0, 5))
+        from tllod_tpu.models.backbones import _VGG_BLOCKS
+        init_ch = 3 if stages[0] == 0 else _VGG_BLOCKS[stages[0] - 1][0]
         params = net.init(jax.random.PRNGKey(0),
-                          jnp.zeros((b, 128, 256, 3)))["params"]
+                          jnp.zeros((b, 128, 256, init_ch)),
+                          stage_range=stages)["params"]
 
         @jax.jit
         def step(p, x):
             def loss(p):
-                f = net.apply({"params": p}, x)
+                f = net.apply({"params": p}, x, stage_range=stages)
                 return jnp.sum(f.astype(jnp.float32) ** 2)
             return jax.grad(loss)(p)
 
-        x = jax.device_put(src["im_data"])
-        ms = _timeit(lambda p: step(p, x), args.steps, params) * 1e3
+        # stage ranges past block 0 consume the previous block's output:
+        # spatial h/2^(lo-1) (pools run at block entry), channels of block lo-1
+        if stages[0] == 0:
+            x = jnp.asarray(src["im_data"])
+        else:
+            from tllod_tpu.models.backbones import _VGG_BLOCKS
+            sc = 2 ** (stages[0] - 1)
+            ch = _VGG_BLOCKS[stages[0] - 1][0]
+            x = jnp.zeros((b, h // sc, w // sc, ch), jnp.float32)
+        x = jax.device_put(x)
+        if args.precision:
+            with jax.default_matmul_precision(args.precision):
+                ms = _timeit(lambda p: step(p, x), args.steps, params) * 1e3
+        else:
+            ms = _timeit(lambda p: step(p, x), args.steps, params) * 1e3
         ips = 1e3 / ms * b
     elif args.probe in ("proposal", "anchortgt"):
         from tllod_tpu.models.rpn import anchor_target, proposal_layer
@@ -194,6 +224,49 @@ def main():
             rng = jax.random.PRNGKey(3)
             ms = _timeit(lambda p: step(p, rng, base, batch),
                          args.steps, params) * 1e3
+        ips = 1e3 / ms * b
+    elif args.probe in ("eval", "evalfwd", "evalpost"):
+        # the test-CLI hot loop (reference methods/DAF/DAF_test.py:255-317):
+        #   eval     = detector fwd + on-device decode + per-class NMS
+        #   evalfwd  = detector fwd only (conv/RPN/RoIAlign/head ceiling)
+        #   evalpost = decode + per-class NMS only (fwd outputs precomputed)
+        from tllod_tpu.models.faster_rcnn import FasterRCNN
+        from tllod_tpu.train import postprocess_detections_batch
+        det = FasterRCNN(num_classes=9, cfg=cfg, net="vgg16", dtype=dtype)
+        rngs = {"params": jax.random.PRNGKey(0),
+                "sampling": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2)}
+        small = _make_batch(b, 128, 256, domain=1, seed=0)
+        params = det.init(rngs, small["im_data"], small["im_info"],
+                          small["gt_boxes"], training=True)["params"]
+        stds = jnp.asarray(cfg.TRAIN.BBOX_NORMALIZE_STDS, jnp.float32)
+        means = jnp.asarray(cfg.TRAIN.BBOX_NORMALIZE_MEANS, jnp.float32)
+        im = jax.device_put(jnp.asarray(src["im_data"]))
+        info = jax.device_put(jnp.asarray(src["im_info"]))
+        gtb = jax.device_put(jnp.asarray(src["gt_boxes"]))
+
+        @jax.jit
+        def fwd(p, im_data):
+            return det.apply({"params": p}, im_data, info, gtb,
+                             training=False)
+
+        @jax.jit
+        def post(out):
+            return postprocess_detections_batch(
+                out["rois"], out["cls_prob"], out["bbox_pred"], info,
+                num_classes=9, stds=stds, means=means,
+                nms_thresh=cfg.TEST.NMS, max_dets=100)
+
+        if args.probe == "evalfwd":
+            ms = _timeit(lambda p: fwd(p, im)["cls_prob"],
+                         args.steps, params) * 1e3
+        elif args.probe == "evalpost":
+            out = {k: fwd(params, im)[k]
+                   for k in ("rois", "cls_prob", "bbox_pred")}
+            jax.block_until_ready(out)
+            ms = _timeit(post, args.steps, out) * 1e3
+        else:
+            ms = _timeit(lambda p: post(fwd(p, im)), args.steps, params) * 1e3
         ips = 1e3 / ms * b
     else:  # daf
         from tllod_tpu.methods.daf import DAFModel, daf_loss
