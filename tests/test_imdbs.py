@@ -220,3 +220,56 @@ def test_evaluate_detections_roidb_in_memory():
     assert np.isclose(aps["a"], 1.0)
     assert np.isclose(aps["b"], 0.0)
     assert np.isclose(aps["mAP"], 0.5)
+
+
+# ------------------------------------------------------- rbg-variant imdb
+
+def test_voc_rbg_variant(tmp_path, monkeypatch):
+    """``voc_rbg_*`` names (lib/datasets/pascal_voc_rbg.py): difficult
+    objects excluded from the roidb, salted+cleaned results files,
+    07-metric only for year < 2010 — all via options on the generic reader."""
+    monkeypatch.setenv("TLLOD_DATA_DIR", str(tmp_path))
+    root = tmp_path / "VOCdevkit2007" / "VOC2007"
+    _write(str(root / "ImageSets" / "Main" / "test.txt"), "r1\n")
+    xml = ("<annotation><size><width>100</width><height>80</height></size>"
+           "<object><name>car</name><difficult>0</difficult>"
+           "<bndbox><xmin>10</xmin><ymin>10</ymin><xmax>50</xmax>"
+           "<ymax>40</ymax></bndbox></object>"
+           "<object><name>car</name><difficult>1</difficult>"
+           "<bndbox><xmin>60</xmin><ymin>10</ymin><xmax>90</xmax>"
+           "<ymax>40</ymax></bndbox></object></annotation>")
+    _write(str(root / "Annotations" / "r1.xml"), xml)
+
+    assert "voc_rbg_2007_test" in list_datasets()
+    plain = get_dataset("voc_2007_test")
+    rbg = get_dataset("voc_rbg_2007_test")
+    assert len(plain.gt_roidb()[0]["boxes"]) == 2      # difficult kept
+    assert len(rbg.gt_roidb()[0]["boxes"]) == 1        # difficult dropped
+    assert rbg.eval_kwargs["use_07_metric"] is True    # 2007 < 2010
+    root12 = tmp_path / "VOCdevkit2012" / "VOC2012"
+    _write(str(root12 / "ImageSets" / "Main" / "test.txt"), "r1\n")
+    assert get_dataset(
+        "voc_rbg_2012_test").eval_kwargs["use_07_metric"] is False
+
+
+def test_voc_rbg_salted_cleanup(tmp_path, monkeypatch):
+    """Salted comp-id results files are removed after scoring."""
+    import glob
+
+    from tllod_tpu.data.evaluate import evaluate_detections
+
+    monkeypatch.setenv("TLLOD_DATA_DIR", str(tmp_path))
+    root = tmp_path / "VOCdevkit2007" / "VOC2007"
+    _write(str(root / "ImageSets" / "Main" / "test.txt"), "r1\n")
+    _write(str(root / "Annotations" / "r1.xml"), _xml(
+        [("car", (10, 10, 50, 40), ())]))
+    rbg = get_dataset("voc_rbg_2007_test")
+    all_boxes = [[] for _ in rbg.classes]
+    for c in range(1, rbg.num_classes):
+        all_boxes[c] = [np.zeros((0, 5), np.float32)]
+    all_boxes[rbg.classes.index("car")] = [
+        np.array([[9.0, 9.0, 49.0, 39.0, 0.9]], np.float32)]
+    out = str(tmp_path / "out")
+    aps = evaluate_detections(rbg, all_boxes, out, **rbg.eval_kwargs)
+    assert aps["car"] > 0.9
+    assert not glob.glob(os.path.join(out, "comp4_*det*"))   # cleaned up

@@ -38,11 +38,22 @@ def write_voc_results(dataset: VOCDetection, all_boxes: List[List],
 
 def evaluate_detections(dataset: VOCDetection, all_boxes: List[List],
                         out_dir: str, *, use_07_metric: bool = True,
-                        ovthresh: float = 0.5) -> Dict[str, float]:
+                        ovthresh: float = 0.5, use_salt: bool = False,
+                        cleanup: bool = False) -> Dict[str, float]:
     """Per-class AP + mAP. The VOC07 11-point metric is the default, matching
     every published table (reference ``cityscape.py:323`` uses 07 metric for
-    year < 2010)."""
-    template = write_voc_results(dataset, all_boxes, out_dir)
+    year < 2010).
+
+    ``use_salt`` appends a uuid to the comp id so concurrent runs don't
+    clobber each other's results files, and ``cleanup`` deletes them after
+    scoring — the rbg-variant imdb's behavior
+    (``lib/datasets/pascal_voc_rbg.py:48-54,189-192,283-293``).
+    """
+    comp_id = "comp4"
+    if use_salt:
+        import uuid
+        comp_id += "_" + str(uuid.uuid4())
+    template = write_voc_results(dataset, all_boxes, out_dir, comp_id=comp_id)
     cachedir = os.path.join(out_dir, "annotations_cache")
     aps: Dict[str, float] = {}
     for cls in dataset.classes:
@@ -52,6 +63,8 @@ def evaluate_detections(dataset: VOCDetection, all_boxes: List[List],
                             dataset.imageset_file, cls, cachedir,
                             ovthresh=ovthresh, use_07_metric=use_07_metric)
         aps[cls] = ap
+        if cleanup:
+            os.remove(template.format(cls))
     aps["mAP"] = float(np.mean([v for k, v in aps.items() if k != "mAP"]))
     return aps
 

@@ -25,11 +25,17 @@ def register_dataset(name: str, ctor: Callable[[], VOCDetection]) -> None:
     _REGISTRY[name] = ctor
 
 
-def _voc_ctor(name, subdir, year, split, class_set):
+def _voc_ctor(name, subdir, year, split, class_set, *, use_diff=True,
+              eval_kwargs=None):
     def ctor():
         root = os.path.join(data_dir(), subdir, "VOC" + year)
-        return VOCDetection(name, root, split, CLASS_SETS[class_set],
-                            cache_dir=os.path.join(data_dir(), "cache"))
+        ds = VOCDetection(name, root, split, CLASS_SETS[class_set],
+                          cache_dir=os.path.join(data_dir(), "cache"),
+                          use_diff=use_diff)
+        if eval_kwargs:
+            # consumed by eval_engine.evaluate_model → evaluate_detections
+            ds.eval_kwargs = dict(eval_kwargs)
+        return ds
     return ctor
 
 
@@ -50,6 +56,19 @@ def _register_defaults() -> None:
             register_dataset(name,
                              _voc_ctor(name, "VOCdevkit" + year, year, split,
                                        "voc"))
+            # rbg-variant imdb (lib/datasets/pascal_voc_rbg.py): same data,
+            # difficult objects EXCLUDED from the roidb (use_diff=False),
+            # salted+cleaned results files, 07 metric only for year < 2010.
+            # Covered by options on the generic reader instead of a
+            # near-duplicate class.
+            rbg = f"voc_rbg_{year}_{split}"
+            register_dataset(rbg,
+                             _voc_ctor(rbg, "VOCdevkit" + year, year, split,
+                                       "voc", use_diff=False,
+                                       eval_kwargs={
+                                           "use_07_metric": int(year) < 2010,
+                                           "use_salt": True,
+                                           "cleanup": True}))
     # US-DAF UniDAOD splits (reference lib/US_DAF/factory.py usage)
     for year in ("2007", "2012"):
         name = f"voc_us_{year}_trainval"

@@ -65,7 +65,7 @@ class VOCDetection:
                  classes: Sequence[str], *,
                  image_ext: str = ".jpg",
                  cache_dir: Optional[str] = None,
-                 name_map=None):
+                 name_map=None, use_diff: bool = True):
         self.name = name
         self.root = root
         self.split = split
@@ -77,6 +77,11 @@ class VOCDetection:
         # optional raw-name normalizer (DG union synonyms, data/union.py);
         # objects whose mapped name is outside ``classes`` are dropped
         self._name_map = name_map or (lambda n: n)
+        # use_diff=True keeps difficult objects in the roidb (the DA-library
+        # imdbs comment the filter out — cityscape.py:233-239); False drops
+        # them at parse time like the rbg-variant imdb's default
+        # (lib/datasets/pascal_voc_rbg.py:151-155, config['use_diff']=False)
+        self.use_diff = use_diff
 
         setfile = os.path.join(root, "ImageSets", "Main", split + ".txt")
         if not os.path.exists(setfile):
@@ -109,6 +114,10 @@ class VOCDetection:
         objs = [o for o in tree.findall("object")
                 if self._name_map(o.find("name").text.lower().strip())
                 in self._class_to_ind]
+        if not self.use_diff:
+            objs = [o for o in objs
+                    if o.find("difficult") is None
+                    or int(o.find("difficult").text) == 0]
         n = len(objs)
         boxes = np.zeros((n, 4), np.float32)
         gt_classes = np.zeros((n,), np.int32)
@@ -137,8 +146,9 @@ class VOCDetection:
         cache_file = None
         if self.cache_dir:
             os.makedirs(self.cache_dir, exist_ok=True)
+            tag = "" if self.use_diff else "_nodiff"
             cache_file = os.path.join(self.cache_dir,
-                                      f"{self.name}_gt_roidb.pkl")
+                                      f"{self.name}{tag}_gt_roidb.pkl")
             if os.path.exists(cache_file):
                 with open(cache_file, "rb") as f:
                     return pickle.load(f)

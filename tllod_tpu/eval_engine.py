@@ -180,7 +180,10 @@ def evaluate_model(model: FasterRCNN, params, dataset, roidb, cfg: Config,
                                         use_07_metric=True)
         print_eval(aps)
         return aps
-    aps = evaluate_detections(dataset, all_boxes, output_dir,
-                              use_07_metric=True)
+    # per-dataset eval options (rbg-variant imdbs: year-based metric,
+    # salted results files, cleanup — set by the factory)
+    kw = dict(getattr(dataset, "eval_kwargs", {}) or {})
+    kw.setdefault("use_07_metric", True)
+    aps = evaluate_detections(dataset, all_boxes, output_dir, **kw)
     print_eval(aps)
     return aps
