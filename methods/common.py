@@ -48,6 +48,12 @@ def build_train_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--ls", dest="large_scale", action="store_true")
     p.add_argument("--mGPUs", dest="m_chips", action="store_true",
                    help="shard the batch over all available chips")
+    p.add_argument("--tp", default=1, type=int,
+                   help="tensor-parallel degree: split the box head's fc "
+                        "stack over a 'model' mesh axis (devices = "
+                        "data_parallel x tp). No reference counterpart "
+                        "(nn.DataParallel is data-only); see "
+                        "parallel/mesh.py:tp_param_shardings")
     p.add_argument("--bs", dest="batch_size", default=1, type=int)
     p.add_argument("--cag", dest="class_agnostic", action="store_true")
     p.add_argument("--bf16", action="store_true",

@@ -88,9 +88,29 @@ def run_da_training(method_name: str, model_ctor: Callable,
         args.start_epoch = ckpt_epoch + 1
         print(f"resumed from {ckpt_path} (epoch {ckpt_epoch}, step {step})")
 
-    mesh = make_mesh() if args.m_chips else make_mesh(1)
-    if args.m_chips:
+    tp = max(1, getattr(args, "tp", 1))
+    if tp > 1:
+        from tllod_tpu.parallel.mesh import make_mesh_2d, tp_param_shardings
+        n = len(jax.devices()) if args.m_chips else tp
+        if n % tp != 0:
+            raise ValueError(f"--tp {tp} does not divide the {n} devices "
+                             f"in use")
+        mesh = make_mesh_2d(n // tp, tp)
+        print(f"mesh: data {n // tp} x model {tp}")
+        # place params AND optimizer state with the tensor-parallel specs
+        # (the momentum tree embeds the param tree, so the same path-suffix
+        # rules apply) so no step-time resharding is ever inserted
+        state = state._replace(
+            params=jax.device_put(state.params,
+                                  tp_param_shardings(state.params, mesh)),
+            opt_state=jax.device_put(
+                state.opt_state,
+                tp_param_shardings(state.opt_state, mesh)))
         check_batch_divisible(args.batch_size, mesh)
+    else:
+        mesh = make_mesh() if args.m_chips else make_mesh(1)
+        if args.m_chips:
+            check_batch_divisible(args.batch_size, mesh)
 
     def apply_fn(params, rngs, src, tgt):
         return model.apply({"params": params}, src, tgt, training=True,

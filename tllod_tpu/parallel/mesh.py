@@ -29,6 +29,24 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devs), ("data",))
 
 
+def make_mesh_2d(data: int, model: int,
+                 devices: Optional[Sequence[Any]] = None) -> Mesh:
+    """2-D ``(data, model)`` mesh: batch sharded over ``data``, the box
+    head's fc weights sharded over ``model`` (:func:`tp_param_shardings`).
+
+    The reference has no model parallelism at all (``nn.DataParallel``
+    only); this is the TPU-native extension — one mesh, two named axes,
+    XLA/GSPMD inserts the all-gather/reduce-scatter pair for the
+    column/row-split fc stack over ICI.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    if data * model > len(devs):
+        raise ValueError(f"mesh {data}x{model} needs {data * model} devices,"
+                         f" have {len(devs)}")
+    return Mesh(np.asarray(devs[:data * model]).reshape(data, model),
+                ("data", "model"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard dim 0 (batch) across the data axis."""
     return NamedSharding(mesh, P("data"))
@@ -38,16 +56,48 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+# Megatron-style split of the two big fc layers (102M of VGG16's 142M
+# params): fc6 column-parallel (output features sharded → its activations
+# stay sharded through ReLU/dropout), fc7 row-parallel (contraction over the
+# sharded dim → XLA inserts one reduce over "model"). Everything else —
+# convs, RPN, cls_score/bbox_pred, DA heads — is replicated (pure DP).
+_TP_RULES = (
+    (("fc6", "kernel"), P(None, "model")),
+    (("fc6", "bias"), P("model")),
+    (("fc7", "kernel"), P("model", None)),
+)
+
+
+def tp_param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree for ``params`` on a ``(data, model)`` mesh:
+    fc head tensor-parallel over "model", the rest replicated."""
+    def spec_for(path) -> P:
+        keys = tuple(str(getattr(p, "key", getattr(p, "name", p)))
+                     for p in path)
+        for suffix, spec in _TP_RULES:
+            if keys[-len(suffix):] == suffix:
+                return spec
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, v: NamedSharding(mesh, spec_for(path)), params)
+
+
+def _data_axis_size(mesh: Mesh) -> int:
+    return (mesh.shape["data"] if "data" in mesh.axis_names
+            else mesh.size)
+
+
 def check_batch_divisible(batch_size: int, mesh: Mesh) -> None:
     """Fail fast (instead of an opaque XLA sharding error at device_put
     time) when the global batch can't be split evenly over the data axis.
     The reference's ``nn.DataParallel`` silently imbalanced such batches;
     here dim-0 sharding requires exact divisibility."""
-    n = mesh.size
+    n = _data_axis_size(mesh)
     if batch_size % n != 0:
         raise ValueError(
             f"--mGPUs: global batch size {batch_size} is not divisible by "
-            f"the {n}-device mesh; use --bs with a multiple of {n} "
+            f"the {n}-way data axis; use --bs with a multiple of {n} "
             f"(e.g. --bs {((batch_size // n) + 1) * n}).")
 
 
