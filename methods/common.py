@@ -55,6 +55,11 @@ def build_train_parser(description: str) -> argparse.ArgumentParser:
                         "(nn.DataParallel is data-only); see "
                         "parallel/mesh.py:tp_param_shardings")
     p.add_argument("--bs", dest="batch_size", default=1, type=int)
+    p.add_argument("--sp", action="store_true",
+                   help="with --tp: also shard images over the 'model' axis "
+                        "by height — spatial partitioning of the conv "
+                        "backbone (GSPMD halo exchange). No reference "
+                        "counterpart")
     p.add_argument("--cag", dest="class_agnostic", action="store_true")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute for backbone/heads (losses and "

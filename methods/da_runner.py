@@ -89,6 +89,10 @@ def run_da_training(method_name: str, model_ctor: Callable,
         print(f"resumed from {ckpt_path} (epoch {ckpt_epoch}, step {step})")
 
     tp = max(1, getattr(args, "tp", 1))
+    spatial = bool(getattr(args, "sp", False))
+    if spatial and tp < 2:
+        raise ValueError("--sp shards images over the 'model' mesh axis; "
+                         "it requires --tp >= 2 to define that axis")
     if tp > 1:
         from tllod_tpu.parallel.mesh import make_mesh_2d, tp_param_shardings
         n = len(jax.devices()) if args.m_chips else tp
@@ -130,8 +134,8 @@ def run_da_training(method_name: str, model_ctor: Callable,
 
     for epoch in range(args.start_epoch, args.max_epochs + 1):
         for _ in range(steps_per_epoch):
-            src = shard_batch(next(s_it), mesh)
-            tgt = shard_batch(next(t_it), mesh)
+            src = shard_batch(next(s_it), mesh, spatial=spatial)
+            tgt = shard_batch(next(t_it), mesh, spatial=spatial)
             state, metrics = train_step(state, rng, src, tgt)
             step += 1
             if profiler is not None:

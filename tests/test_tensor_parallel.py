@@ -94,3 +94,38 @@ def test_tp_train_step_runs_and_keeps_shardings():
     assert np.isfinite(float(metrics["loss"]))
     fc6 = new_state.params["detector"]["head"]["fc6"]["kernel"]
     assert fc6.sharding.spec == P(None, "model")
+
+
+def test_spatial_partition_loss_matches_single_device():
+    """--sp: images sharded (data, model) on H — GSPMD halo-exchanged convs
+    must reproduce the single-device DAF loss."""
+    import __graft_entry__ as ge
+    from tllod_tpu.methods.daf import DAFModel, daf_loss
+    from tllod_tpu.parallel.mesh import make_mesh_2d, shard_batch, \
+        tp_param_shardings
+
+    cfg = ge._tiny_cfg(post_train=16, post_test=8, pre=64, roi_batch=8)
+    model = DAFModel(num_classes=9, cfg=cfg, net="vgg16")
+    src = ge._make_batch(2, 64, 64, domain=1, seed=0)
+    tgt = ge._make_batch(2, 64, 64, domain=0, seed=1)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)}, src, tgt, training=True)["params"]
+
+    def loss_fn(p, s, t):
+        out = model.apply({"params": p}, s, t, training=True,
+                          rngs={"sampling": jax.random.PRNGKey(3),
+                                "dropout": jax.random.PRNGKey(4)})
+        return daf_loss(out)
+
+    single = float(jax.jit(loss_fn)(params, src, tgt))
+
+    mesh = make_mesh_2d(2, 4)
+    params_s = jax.device_put(params, tp_param_shardings(params, mesh))
+    src_s = shard_batch(src, mesh, spatial=True)
+    tgt_s = shard_batch(tgt, mesh, spatial=True)
+    assert src_s["im_data"].sharding.spec == P("data", "model")
+    sp = float(jax.jit(loss_fn)(params_s, src_s, tgt_s))
+
+    assert np.isfinite(single) and np.isfinite(sp)
+    np.testing.assert_allclose(sp, single, rtol=1e-4, atol=1e-5)

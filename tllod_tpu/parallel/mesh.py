@@ -52,6 +52,16 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def spatial_image_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard images (B, H, W, C) on batch AND image height: spatial
+    partitioning of the conv backbone over the "model" axis. GSPMD inserts
+    the halo exchanges between H-neighbor devices for every conv/pool; the
+    feature map is re-gathered automatically where the program stops being
+    spatially shardable (the proposal layer's global top-k / RoIAlign
+    gathers). The conv FLOPs — ~90% of the step — split model-ways."""
+    return NamedSharding(mesh, P("data", "model"))
+
+
 def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -101,11 +111,23 @@ def check_batch_divisible(batch_size: int, mesh: Mesh) -> None:
             f"(e.g. --bs {((batch_size // n) + 1) * n}).")
 
 
-def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, Any]:
-    """Place a host batch dict onto the mesh, sharded on dim 0."""
+def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh, *,
+                spatial: bool = False) -> Dict[str, Any]:
+    """Place a host batch dict onto the mesh, sharded on dim 0.
+
+    With ``spatial=True`` (requires a mesh with a "model" axis), the image
+    tensor is additionally sharded on its height dim —
+    :func:`spatial_image_sharding`."""
     s = batch_sharding(mesh)
+    s_img = s
+    if spatial:
+        if "model" not in mesh.axis_names:
+            raise ValueError("spatial sharding needs a (data, model) mesh "
+                             "— use make_mesh_2d / --tp")
+        s_img = spatial_image_sharding(mesh)
     for v in batch.values():
         if hasattr(v, "shape") and v.ndim >= 1:
             check_batch_divisible(v.shape[0], mesh)
             break
-    return {k: jax.device_put(v, s) for k, v in batch.items()}
+    return {k: jax.device_put(v, s_img if k == "im_data" else s)
+            for k, v in batch.items()}
