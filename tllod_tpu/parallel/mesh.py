@@ -80,17 +80,35 @@ _TP_RULES = (
 
 def tp_param_shardings(params, mesh: Mesh):
     """NamedSharding pytree for ``params`` on a ``(data, model)`` mesh:
-    fc head tensor-parallel over "model", the rest replicated."""
+    fc head tensor-parallel over "model", the rest replicated.
+
+    Pipeline and expert parallelism are deliberately absent: the largest
+    model family here (VGG16 DAF, 142M params + momentum ≈ 1.1 GB) fits
+    comfortably on one chip, and no method uses mixture-of-experts.
+    """
+    matched = [0]
+
     def spec_for(path) -> P:
         keys = tuple(str(getattr(p, "key", getattr(p, "name", p)))
                      for p in path)
         for suffix, spec in _TP_RULES:
             if keys[-len(suffix):] == suffix:
+                matched[0] += 1
                 return spec
         return P()
 
-    return jax.tree_util.tree_map_with_path(
+    out = jax.tree_util.tree_map_with_path(
         lambda path, v: NamedSharding(mesh, spec_for(path)), params)
+    if not matched[0]:
+        # e.g. ResNet nets: the head is conv layer4 + small Denses — there
+        # is no fc6/fc7 to split, so tp would silently replicate everything
+        import warnings
+        warnings.warn(
+            "tp_param_shardings: no parameter matched the tensor-parallel "
+            "rules (fc6/fc7) — this net has no fc head to split; --tp will "
+            "only replicate. Use pure data parallelism (--mGPUs) instead.",
+            stacklevel=2)
+    return out
 
 
 def _data_axis_size(mesh: Mesh) -> int:
