@@ -64,6 +64,12 @@ def build_train_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute for backbone/heads (losses and "
                         "box decode stay f32)")
+    p.add_argument("--fuse_steps", default=1, type=int,
+                   help="lax.scan this many train steps inside ONE jitted "
+                        "dispatch — amortizes the per-dispatch host cost; "
+                        "bit-identical trajectory to the per-step loop "
+                        "(train.make_train_step_multi). No reference "
+                        "counterpart (torch dispatches per step)")
     p.add_argument("--o", dest="optimizer", default="sgd", type=str)
     p.add_argument("--lr", default=0.002, type=float)
     p.add_argument("--lr_decay_step", default=6, type=int)

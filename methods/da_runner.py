@@ -121,6 +121,25 @@ def run_da_training(method_name: str, model_ctor: Callable,
                            rngs=rngs)
 
     train_step = make_train_step(apply_fn, loss_builder(args), tx)
+    fuse = max(1, getattr(args, "fuse_steps", 1))
+    train_multi = None
+    if fuse > 1:
+        from tllod_tpu.train import make_train_step_multi
+        train_multi = make_train_step_multi(apply_fn, loss_builder(args), tx)
+
+        def stack_batches(it, k, mesh, spatial):
+            """k loader batches → one dict with a leading scan axis, placed
+            so dim 1 (the per-step batch) shards over "data"."""
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            bs = [next(it) for _ in range(k)]
+            out = {}
+            for key in bs[0]:
+                v = np.stack([b[key] for b in bs])
+                spec = (P(None, "data", "model")
+                        if spatial and key == "im_data"
+                        else P(None, "data"))
+                out[key] = jax.device_put(v, NamedSharding(mesh, spec))
+            return out
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
     logger = MetricLogger(
         args.disp_interval,
@@ -133,15 +152,32 @@ def run_da_training(method_name: str, model_ctor: Callable,
                                 args.profile)
 
     for epoch in range(args.start_epoch, args.max_epochs + 1):
-        for _ in range(steps_per_epoch):
-            src = shard_batch(next(s_it), mesh, spatial=spatial)
-            tgt = shard_batch(next(t_it), mesh, spatial=spatial)
-            state, metrics = train_step(state, rng, src, tgt)
-            step += 1
-            if profiler is not None:
-                profiler.tick(step)
-            logger.update(step, epoch,
-                          lambda s=step: schedule(s), metrics)
+        todo = steps_per_epoch
+        if args.max_steps:
+            todo = min(todo, max(0, args.max_steps - step))
+        while todo > 0:
+            if train_multi is not None and todo >= fuse:
+                # K steps in one dispatch; metrics come back stacked (K,)
+                srcK = stack_batches(s_it, fuse, mesh, spatial)
+                tgtK = stack_batches(t_it, fuse, mesh, spatial)
+                state, metricsK = train_multi(state, rng, srcK, tgtK)
+                for i in range(fuse):
+                    step += 1
+                    todo -= 1
+                    if profiler is not None:
+                        profiler.tick(step)
+                    logger.update(step, epoch, lambda s=step: schedule(s),
+                                  {k: v[i] for k, v in metricsK.items()})
+            else:
+                src = shard_batch(next(s_it), mesh, spatial=spatial)
+                tgt = shard_batch(next(t_it), mesh, spatial=spatial)
+                state, metrics = train_step(state, rng, src, tgt)
+                step += 1
+                todo -= 1
+                if profiler is not None:
+                    profiler.tick(step)
+                logger.update(step, epoch,
+                              lambda s=step: schedule(s), metrics)
             if args.max_steps and step >= args.max_steps:
                 break
         done = ((args.max_steps and step >= args.max_steps)
