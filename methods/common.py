@@ -67,9 +67,9 @@ def build_train_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--fuse_steps", default=1, type=int,
                    help="lax.scan this many train steps inside ONE jitted "
                         "dispatch — amortizes the per-dispatch host cost; "
-                        "bit-identical trajectory to the per-step loop "
-                        "(train.make_train_step_multi). No reference "
-                        "counterpart (torch dispatches per step)")
+                        "same trajectory as the per-step loop up to XLA "
+                        "reassociation (train.make_train_step_multi). No "
+                        "reference counterpart (torch dispatches per step)")
     p.add_argument("--o", dest="optimizer", default="sgd", type=str)
     p.add_argument("--lr", default=0.002, type=float)
     p.add_argument("--lr_decay_step", default=6, type=int)
@@ -346,3 +346,62 @@ class StepProfiler:
             jax.profiler.stop_trace()
             self.active = False
             print("[profile] trace written")
+
+
+def setup_parallelism(args, state):
+    """CLI-level mesh construction shared by every train entry point.
+
+    Returns ``(mesh, state, spatial)``: a 1-D data mesh (``--mGPUs``), or a
+    2-D (data, model) mesh with the box head tensor-parallel (``--tp``) and
+    optionally images height-sharded (``--sp``); ``state`` comes back with
+    params AND optimizer state placed under the tensor-parallel specs (the
+    momentum tree embeds the param tree, so the same path-suffix rules
+    apply) so no step-time resharding is ever inserted.
+    """
+    import jax
+
+    from tllod_tpu.parallel.mesh import (check_batch_divisible, make_mesh,
+                                         make_mesh_2d, tp_param_shardings)
+
+    tp = max(1, getattr(args, "tp", 1))
+    spatial = bool(getattr(args, "sp", False))
+    if spatial and tp < 2:
+        raise ValueError("--sp shards images over the 'model' mesh axis; "
+                         "it requires --tp >= 2 to define that axis")
+    if tp > 1:
+        n = len(jax.devices()) if args.m_chips else tp
+        if n % tp != 0:
+            raise ValueError(f"--tp {tp} does not divide the {n} devices "
+                             f"in use")
+        mesh = make_mesh_2d(n // tp, tp)
+        print(f"mesh: data {n // tp} x model {tp}")
+        state = state._replace(
+            params=jax.device_put(state.params,
+                                  tp_param_shardings(state.params, mesh)),
+            opt_state=jax.device_put(
+                state.opt_state,
+                tp_param_shardings(state.opt_state, mesh)))
+        check_batch_divisible(args.batch_size, mesh)
+    else:
+        mesh = make_mesh() if args.m_chips else make_mesh(1)
+        if args.m_chips:
+            check_batch_divisible(args.batch_size, mesh)
+    return mesh, state, spatial
+
+
+def stack_batches(it, k: int, mesh, spatial: bool = False):
+    """k loader batches → one dict with a leading scan axis for the fused
+    K-step trainer (``--fuse_steps``), placed so dim 1 (the per-step batch)
+    shards over "data" (and image height over "model" under ``--sp``)."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    bs = [next(it) for _ in range(k)]
+    out = {}
+    for key in bs[0]:
+        v = np.stack([b[key] for b in bs])
+        spec = (P(None, "data", "model") if spatial and key == "im_data"
+                else P(None, "data"))
+        out[key] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out

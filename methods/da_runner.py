@@ -19,8 +19,7 @@ from common import (DATASET_MAP, MetricLogger, build_test_parser,
 
 from tllod_tpu.data import DetectionLoader, combined_roidb
 from tllod_tpu.models.faster_rcnn import FasterRCNN
-from tllod_tpu.parallel.mesh import (check_batch_divisible, make_mesh,
-                                      shard_batch)
+from tllod_tpu.parallel.mesh import shard_batch
 from tllod_tpu.train import create_train_state, make_train_step
 from tllod_tpu.utils.checkpoint import (detector_params, load_checkpoint,
                                         restore_into, resume_train_state,
@@ -88,33 +87,8 @@ def run_da_training(method_name: str, model_ctor: Callable,
         args.start_epoch = ckpt_epoch + 1
         print(f"resumed from {ckpt_path} (epoch {ckpt_epoch}, step {step})")
 
-    tp = max(1, getattr(args, "tp", 1))
-    spatial = bool(getattr(args, "sp", False))
-    if spatial and tp < 2:
-        raise ValueError("--sp shards images over the 'model' mesh axis; "
-                         "it requires --tp >= 2 to define that axis")
-    if tp > 1:
-        from tllod_tpu.parallel.mesh import make_mesh_2d, tp_param_shardings
-        n = len(jax.devices()) if args.m_chips else tp
-        if n % tp != 0:
-            raise ValueError(f"--tp {tp} does not divide the {n} devices "
-                             f"in use")
-        mesh = make_mesh_2d(n // tp, tp)
-        print(f"mesh: data {n // tp} x model {tp}")
-        # place params AND optimizer state with the tensor-parallel specs
-        # (the momentum tree embeds the param tree, so the same path-suffix
-        # rules apply) so no step-time resharding is ever inserted
-        state = state._replace(
-            params=jax.device_put(state.params,
-                                  tp_param_shardings(state.params, mesh)),
-            opt_state=jax.device_put(
-                state.opt_state,
-                tp_param_shardings(state.opt_state, mesh)))
-        check_batch_divisible(args.batch_size, mesh)
-    else:
-        mesh = make_mesh() if args.m_chips else make_mesh(1)
-        if args.m_chips:
-            check_batch_divisible(args.batch_size, mesh)
+    from common import setup_parallelism, stack_batches
+    mesh, state, spatial = setup_parallelism(args, state)
 
     def apply_fn(params, rngs, src, tgt):
         return model.apply({"params": params}, src, tgt, training=True,
@@ -126,20 +100,6 @@ def run_da_training(method_name: str, model_ctor: Callable,
     if fuse > 1:
         from tllod_tpu.train import make_train_step_multi
         train_multi = make_train_step_multi(apply_fn, loss_builder(args), tx)
-
-        def stack_batches(it, k, mesh, spatial):
-            """k loader batches → one dict with a leading scan axis, placed
-            so dim 1 (the per-step batch) shards over "data"."""
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            bs = [next(it) for _ in range(k)]
-            out = {}
-            for key in bs[0]:
-                v = np.stack([b[key] for b in bs])
-                spec = (P(None, "data", "model")
-                        if spatial and key == "im_data"
-                        else P(None, "data"))
-                out[key] = jax.device_put(v, NamedSharding(mesh, spec))
-            return out
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
     logger = MetricLogger(
         args.disp_interval,

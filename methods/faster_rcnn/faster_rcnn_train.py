@@ -9,15 +9,14 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from common import (DATASET_MAP, MetricLogger, build_train_parser,  # noqa: E402
-                    resolve_config)
+                    resolve_config, setup_parallelism, stack_batches)
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
 from tllod_tpu.data import DetectionLoader, combined_roidb  # noqa: E402
 from tllod_tpu.models.faster_rcnn import FasterRCNN, detection_loss  # noqa: E402
-from tllod_tpu.parallel.mesh import (check_batch_divisible, make_mesh,  # noqa: E402
-                                      shard_batch)
+from tllod_tpu.parallel.mesh import shard_batch  # noqa: E402
 from tllod_tpu.train import create_train_state, make_train_step  # noqa: E402
 from tllod_tpu.utils.checkpoint import (resume_train_state,  # noqa: E402
                                         save_checkpoint)
@@ -66,9 +65,7 @@ def main():
         args.start_epoch = ckpt_epoch + 1
         print(f"resumed from {ckpt} (epoch {ckpt_epoch}, step {step})")
 
-    mesh = make_mesh() if args.m_chips else make_mesh(1)
-    if args.m_chips:
-        check_batch_divisible(args.batch_size, mesh)
+    mesh, state, spatial = setup_parallelism(args, state)
 
     def apply_fn(params, rngs, batch):
         return model.apply({"params": params}, batch["im_data"],
@@ -76,16 +73,34 @@ def main():
                            training=True, rngs=rngs)
 
     train_step = make_train_step(apply_fn, detection_loss, tx)
+    fuse = max(1, getattr(args, "fuse_steps", 1))
+    train_multi = None
+    if fuse > 1:
+        from tllod_tpu.train import make_train_step_multi
+        train_multi = make_train_step_multi(apply_fn, detection_loss, tx)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
     logger = MetricLogger(args.disp_interval)
 
     for epoch in range(args.start_epoch, args.max_epochs + 1):
-        for _ in range(steps_per_epoch):
-            batch = shard_batch(next(it), mesh)
-            state, metrics = train_step(state, rng, batch)
-            step += 1
-            logger.update(step, epoch,
-                          lambda s=step: schedule(s), metrics)
+        todo = steps_per_epoch
+        if args.max_steps:
+            todo = min(todo, max(0, args.max_steps - step))
+        while todo > 0:
+            if train_multi is not None and todo >= fuse:
+                batchK = stack_batches(it, fuse, mesh, spatial)
+                state, metricsK = train_multi(state, rng, batchK)
+                for i in range(fuse):
+                    step += 1
+                    todo -= 1
+                    logger.update(step, epoch, lambda s=step: schedule(s),
+                                  {k: v[i] for k, v in metricsK.items()})
+            else:
+                batch = shard_batch(next(it), mesh, spatial=spatial)
+                state, metrics = train_step(state, rng, batch)
+                step += 1
+                todo -= 1
+                logger.update(step, epoch,
+                              lambda s=step: schedule(s), metrics)
             if args.max_steps and step >= args.max_steps:
                 break
         done = ((args.max_steps and step >= args.max_steps)
