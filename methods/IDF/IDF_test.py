@@ -23,7 +23,7 @@ from tllod_tpu.data.evaluate import evaluate_detections, print_eval  # noqa: E40
 from tllod_tpu.data.loader import EvalLoader  # noqa: E402
 from tllod_tpu.methods.idf import IDFModel  # noqa: E402
 from tllod_tpu.train import (collect_detections,  # noqa: E402
-                             postprocess_detections)
+                             postprocess_detections_batch)
 from tllod_tpu.utils.checkpoint import load_checkpoint, restore_into  # noqa: E402
 
 
@@ -76,29 +76,47 @@ def main():
                 feats[2], im_info, gt_boxes, training=False,
                 supervised=False)
         out = model.apply({"params": params}, method=fwd)
-        return postprocess_detections(
+        return postprocess_detections_batch(
             out["rois"], out["cls_prob"], out["bbox_pred"], im_info,
             num_classes=num_classes, stds=stds, means=means,
             nms_thresh=cfg.TEST.NMS, max_dets=args.max_per_image,
             class_agnostic=args.class_agnostic)
 
+    # Batched (--eval_bs) double-buffered loop, same shape as
+    # eval_engine.run_detection: dispatch chunk k, collect chunk k-1 while
+    # the device runs k and the loader decodes k+1.
+    chunk = max(1, getattr(args, "eval_bs", 1))
     loader = EvalLoader(roidb, cfg)
     n = len(loader)
     all_boxes = [[[] for _ in range(n)] for _ in range(num_classes)]
     t0 = time.time()
-    for i, batch in enumerate(loader):
-        boxes, scores, valid = infer(params,
-                                     jnp.asarray(batch["im_data"]),
-                                     jnp.asarray(batch["im_info"]),
-                                     jnp.asarray(batch["gt_boxes"]))
-        per_class = collect_detections(boxes, scores, valid,
-                                       num_classes=num_classes,
-                                       max_per_image=args.max_per_image)
-        for c in range(1, num_classes):
-            all_boxes[c][i] = per_class[c]
-        if (i + 1) % 200 == 0:
-            print(f"im_detect: {i + 1}/{n} "
-                  f"{(i + 1) / (time.time() - t0):.2f} im/s", flush=True)
+    done = [0]
+
+    def process(indices, out):
+        boxes, scores, valid = (np.asarray(x) for x in out)
+        for row, i in enumerate(indices):
+            per_class = collect_detections(boxes[row], scores[row],
+                                           valid[row],
+                                           num_classes=num_classes,
+                                           max_per_image=args.max_per_image)
+            for c in range(1, num_classes):
+                all_boxes[c][i] = per_class[c]
+        prev, done[0] = done[0], done[0] + len(indices)
+        if done[0] // 200 > prev // 200:
+            print(f"im_detect: {done[0]}/{n} "
+                  f"{done[0] / (time.time() - t0):.2f} im/s", flush=True)
+
+    pending = None
+    for indices, batch in loader.iter_chunks(chunk):
+        out = infer(params,
+                    jnp.asarray(batch["im_data"]),
+                    jnp.asarray(batch["im_info"]),
+                    jnp.asarray(batch["gt_boxes"]))
+        if pending is not None:
+            process(*pending)
+        pending = (indices, out)
+    if pending is not None:
+        process(*pending)
 
     aps = evaluate_detections(
         dataset, all_boxes,
