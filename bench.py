@@ -56,9 +56,11 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 backbone/head compute (losses stay f32)")
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--hw", type=int, nargs=2, default=(600, 1200),
+                    help="debug override of the image shape (CPU smoke runs)")
     bench_args, _ = ap.parse_known_args()
 
-    h, w, b = 600, 1200, 1
+    (h, w), b = bench_args.hw, 1
     import jax.numpy as jnp
     model = DAFModel(num_classes=9, cfg=cfg, net="vgg16",
                      dtype=(jnp.bfloat16 if bench_args.bf16
@@ -105,6 +107,29 @@ def main():
 
     images_per_sec = n_steps * 2 * b / dt  # source + target per step
     step_ms = dt / n_steps * 1000.0
+
+    # ---- fused-dispatch trainer (--fuse_steps K in every train CLI):
+    # lax.scan K steps inside one dispatch, amortizing the per-dispatch
+    # host+tunnel cost. Same trajectory as the per-step loop
+    # (tests/test_fused_steps.py). Whichever configuration is faster is
+    # the headline — both raw numbers are reported.
+    from tllod_tpu.train import make_train_step_multi
+
+    K = 8
+    mstep = make_train_step_multi(apply_fn, daf_loss, tx)
+    stackK = lambda batch: {k: jnp.broadcast_to(v, (K,) + v.shape)
+                            for k, v in batch.items()}  # noqa: E731
+    srcK, tgtK = stackK(src), stackK(tgt)
+    state, m = mstep(state, rng, srcK, tgtK)     # warmup/compile
+    float(m["loss"][-1])
+    n_disp = max(2, n_steps // K)
+    t0 = time.perf_counter()
+    for _ in range(n_disp):
+        state, m = mstep(state, rng, srcK, tgtK)
+    float(m["loss"][-1])
+    dtf = time.perf_counter() - t0
+    fused_ips = n_disp * K * 2 * b / dtf
+    fused_step_ms = dtf / (n_disp * K) * 1000.0
 
     # ---- MFU: XLA-counted FLOPs of the whole compiled train step over the
     # chip's bf16 MXU peak (197 TFLOP/s on v5e/v5-lite). f32 runs are held
@@ -160,16 +185,20 @@ def main():
     float(chain)
     eval_ips = n_steps * b / (time.perf_counter() - t0)
 
+    best_ips = max(images_per_sec, fused_ips)
     out = {
         "metric": "daf_vgg16_train_images_per_sec_per_chip"
                   + ("_bf16" if bench_args.bf16 else ""),
-        "value": round(images_per_sec, 3),
-        "unit": "images/sec/chip (600x1200, bs1 src + bs1 tgt, 15 gt/img)",
-        "vs_baseline": round(
-            images_per_sec / ASSUMED_BASELINE_IMAGES_PER_SEC, 3),
+        "value": round(best_ips, 3),
+        "unit": f"images/sec/chip ({h}x{w}, bs1 src + bs1 tgt, 15 gt/img)",
+        "vs_baseline": round(best_ips / ASSUMED_BASELINE_IMAGES_PER_SEC, 3),
         "baseline": "assumed 8.0 img/s (V100 torch-0.4; no published "
                     "reference throughput — see BASELINE.md)",
-        "train_step_ms": round(step_ms, 2),
+        "train_config": ("--fuse_steps 8"
+                         if fused_ips > images_per_sec else "per-step"),
+        "per_step_dispatch_images_per_sec": round(images_per_sec, 3),
+        "fused8_images_per_sec": round(fused_ips, 3),
+        "train_step_ms": round(min(step_ms, fused_step_ms), 2),
         "eval_images_per_sec_per_chip": round(eval_ips, 3),
     }
     if flops:
