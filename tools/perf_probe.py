@@ -58,6 +58,9 @@ def main():
                              "proposal", "anchortgt",
                              "eval", "evalfwd", "evalpost"])
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--hw", type=int, nargs=2, default=(600, 1200),
+                    help="debug override of the probe image shape (CPU "
+                         "smoke runs)")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--batch", type=int, default=1,
                     help="backbone probe batch size (batch-2 vs 2x batch-1 "
@@ -89,7 +92,7 @@ def main():
     cfg = dataclasses.replace(cfg, ANCHOR_SCALES=(4, 8, 16, 32),
                               MAX_NUM_GT_BOXES=50)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    h, w, b = 600, 1200, (args.batch if args.probe == "backbone" else 1)
+    (h, w), b = args.hw, (args.batch if args.probe == "backbone" else 1)
     src = _make_batch(b, h, w, domain=1, seed=0, n_boxes=15, max_gt=50)
     tgt = _make_batch(b, h, w, domain=0, seed=1, n_boxes=15, max_gt=50)
 
