@@ -127,3 +127,22 @@ def test_supervised_baseline_learns():
         hist.append(float(metrics["loss"]))
     assert all(np.isfinite(v) for v in hist)
     assert np.mean(hist[-3:]) < np.mean(hist[:3]), hist
+
+
+def test_daf_learns_bf16():
+    """--bf16 mixed precision (bf16 backbone/head compute, f32 losses and
+    optimizer) must still train in the right direction — the quality basis
+    for running the bench/CLIs in bf16."""
+    import jax.numpy as jnp
+
+    cfg = ge._tiny_cfg(post_train=16, post_test=8, pre=64, roi_batch=8)
+    model = DAFModel(num_classes=9, cfg=cfg, net="vgg16_thin",
+                     dtype=jnp.bfloat16)
+    src = ge._make_batch(1, 128, 128, domain=1, seed=0)
+    tgt = ge._make_batch(1, 128, 128, domain=0, seed=1)
+    det, total = _train(model, daf_loss, src, tgt)
+    assert all(np.isfinite(v) for v in total), total
+    first, last = np.mean(det[:3]), np.mean(det[-3:])
+    assert last < first, (
+        f"bf16 DAF: detection loss did not decrease "
+        f"(first3={first:.4f} last3={last:.4f}, trajectory={det})")
