@@ -93,6 +93,16 @@ def main(workdir: str) -> int:
                                rtol=1e-5, atol=1e-4):
                 print(f"FAIL: value mismatch class {c} image {i}")
                 return 4
+    # composed: mesh sharding AND per-device batching (--shard_eval
+    # --eval_bs 2 → chunks of 16 over 5 images, heavy tail padding)
+    both = run_detection(model, params, dataset, roidb, cfg,
+                         verbose_every=0, mesh=mesh, eval_batch=2)
+    for c in range(1, dataset.num_classes):
+        for i in range(len(roidb)):
+            if single[c][i].shape != both[c][i].shape or not np.allclose(
+                    single[c][i], both[c][i], rtol=1e-5, atol=1e-4):
+                print(f"FAIL: shard+eval_bs mismatch class {c} image {i}")
+                return 6
     print("sharded eval parity OK")
     return 0
 
