@@ -129,3 +129,49 @@ def test_spatial_partition_loss_matches_single_device():
 
     assert np.isfinite(single) and np.isfinite(sp)
     np.testing.assert_allclose(sp, single, rtol=1e-4, atol=1e-5)
+
+
+def test_resnet_head_tp_loss_matches_single_device():
+    """res50: the layer4 bottleneck channel-sharding rules must reproduce
+    the single-device supervised loss, with the 1×1 conv kernels actually
+    split over "model"."""
+    import warnings
+
+    import __graft_entry__ as ge
+    from tllod_tpu.models.faster_rcnn import FasterRCNN, detection_loss
+    from tllod_tpu.parallel.mesh import make_mesh_2d, tp_param_shardings
+
+    cfg = ge._tiny_cfg(post_train=16, post_test=8, pre=64, roi_batch=8)
+    model = FasterRCNN(num_classes=9, cfg=cfg, net="res50")
+    b = ge._make_batch(2, 64, 64, domain=1, seed=0)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        b["im_data"], b["im_info"], b["gt_boxes"], training=True)["params"]
+
+    def loss_fn(p, batch):
+        out = model.apply({"params": p}, batch["im_data"], batch["im_info"],
+                          batch["gt_boxes"], training=True,
+                          rngs={"sampling": jax.random.PRNGKey(3),
+                                "dropout": jax.random.PRNGKey(4)})
+        return detection_loss(out)
+
+    single = float(jax.jit(loss_fn)(params, b))
+
+    mesh = make_mesh_2d(2, 4)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        specs = tp_param_shardings(params, mesh)
+        assert not w, [str(x.message) for x in w]   # rules matched → no warn
+    params_tp = jax.device_put(params, specs)
+    l4 = params_tp["head"]["layer4_0"]
+    assert l4["conv1"]["kernel"].sharding.spec == P(None, None, None, "model")
+    assert l4["conv2"]["kernel"].sharding.spec == P(None, None, "model", None)
+    assert l4["bn1"]["scale"].sharding.spec == P("model")
+    assert l4["bn2"]["scale"].sharding.spec == P()
+
+    batch = NamedSharding(mesh, P("data"))
+    b_s = {k: jax.device_put(v, batch) for k, v in b.items()}
+    tp = float(jax.jit(loss_fn)(params_tp, b_s))
+    assert np.isfinite(single) and np.isfinite(tp)
+    np.testing.assert_allclose(tp, single, rtol=1e-4, atol=1e-5)

@@ -77,6 +77,21 @@ _TP_RULES = (
     (("fc7", "kernel"), P("model", None)),
 )
 
+# ResNet head (layer4 bottlenecks, the per-RoI compute of res50/101/152):
+# 1×1 convs column-parallel on output channels, the 3×3 row-parallel on the
+# sharded input channels (GSPMD inserts the reduce), FrozenBN affines
+# sharded to match their conv's output. The residual pair (conv3 /
+# downsample_conv) shards identically so the add needs no resharding.
+_TP_RESNET_HEAD_RULES = (
+    (("conv1", "kernel"), P(None, None, None, "model")),
+    (("conv2", "kernel"), P(None, None, "model", None)),
+    (("conv3", "kernel"), P(None, None, None, "model")),
+    (("downsample_conv", "kernel"), P(None, None, None, "model")),
+    (("bn1",), P("model")),
+    (("bn3",), P("model")),
+    (("downsample_bn",), P("model")),
+)
+
 
 def tp_param_shardings(params, mesh: Mesh):
     """NamedSharding pytree for ``params`` on a ``(data, model)`` mesh:
@@ -95,19 +110,25 @@ def tp_param_shardings(params, mesh: Mesh):
             if keys[-len(suffix):] == suffix:
                 matched[0] += 1
                 return spec
+        if any(k.startswith("layer4_") for k in keys):
+            for suffix, spec in _TP_RESNET_HEAD_RULES:
+                if keys[-len(suffix) - 1:-1] == suffix or \
+                        keys[-len(suffix):] == suffix:
+                    matched[0] += 1
+                    return spec
         return P()
 
     out = jax.tree_util.tree_map_with_path(
         lambda path, v: NamedSharding(mesh, spec_for(path)), params)
     if not matched[0]:
-        # e.g. ResNet nets: the head is conv layer4 + small Denses — there
-        # is no fc6/fc7 to split, so tp would silently replicate everything
+        # safety net for future nets with neither a VGG fc head nor a
+        # ResNet layer4 — tp would silently replicate everything
         import warnings
         warnings.warn(
             "tp_param_shardings: no parameter matched the tensor-parallel "
-            "rules (fc6/fc7) — this net has no fc head to split; --tp will "
-            "only replicate. Use pure data parallelism (--mGPUs) instead.",
-            stacklevel=2)
+            "rules (fc6/fc7 or layer4 bottlenecks) — nothing to split; "
+            "--tp will only replicate. Use pure data parallelism (--mGPUs) "
+            "instead.", stacklevel=2)
     return out
 
 
