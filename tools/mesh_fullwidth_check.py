@@ -54,6 +54,13 @@ def _impl(mode: str) -> None:
         from tllod_tpu.methods.atf import ATFModel, atf_loss
         model = ATFModel(num_classes=9, cfg=cfg, net="vgg16_thin")
         loss_fn = atf_loss
+    elif mode == "fullwidth_daf_tp":
+        # FULL-WIDTH flagship under dp4×tp2: fc6/fc7 Megatron-split over
+        # "model", momentum sharded to match (--tp's program family at the
+        # real 142M-param widths, not just the thin dryrun)
+        from tllod_tpu.methods.daf import DAFModel, daf_loss
+        model = DAFModel(num_classes=9, cfg=cfg, net="vgg16")
+        loss_fn = daf_loss
     else:
         raise ValueError(mode)
 
@@ -71,11 +78,16 @@ def _impl(mode: str) -> None:
 
     cpus = jax.devices("cpu")
     assert len(cpus) >= N_DEVICES
-    mesh = make_mesh(N_DEVICES, devices=cpus)
+    if mode.endswith("_tp"):
+        from tllod_tpu.parallel.mesh import make_mesh_2d, tp_param_shardings
+        mesh = make_mesh_2d(N_DEVICES // 2, 2, devices=cpus)
+        params = jax.device_put(params, tp_param_shardings(params, mesh))
+    else:
+        mesh = make_mesh(N_DEVICES, devices=cpus)
+        params = jax.device_put(params, NamedSharding(mesh, P()))
     bs = NamedSharding(mesh, P("data"))
     src = {k: jax.device_put(v, bs) for k, v in src.items()}
     tgt = {k: jax.device_put(v, bs) for k, v in tgt.items()}
-    params = jax.device_put(params, NamedSharding(mesh, P()))
 
     tx = make_sgd(0.001, clip_norm=10.0)
     state = create_train_state(params, tx)
@@ -107,7 +119,13 @@ def main() -> None:
         return
 
     import __graft_entry__ as ge
+    out = os.path.join(REPO, "MULTICHIP_FULLWIDTH.json")
     results = {"n_devices": N_DEVICES, "checks": {}}
+    if os.path.exists(out):
+        # merge: running a subset of --modes keeps earlier checks' records
+        with open(out) as f:
+            prev = json.load(f)
+        results["checks"].update(prev.get("checks", {}))
     for mode in args.modes.split(","):
         t0 = time.time()
         res = subprocess.run(
@@ -129,7 +147,6 @@ def main() -> None:
             "detail": detail, "tail": tail if res.returncode else None}
         print(f"{mode}: {'OK' if res.returncode == 0 else 'FAIL'} "
               f"({time.time() - t0:.0f}s)", flush=True)
-    out = os.path.join(REPO, "MULTICHIP_FULLWIDTH.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {out}")
