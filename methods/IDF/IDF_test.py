@@ -118,10 +118,13 @@ def main():
     if pending is not None:
         process(*pending)
 
+    # honor per-dataset eval options (rbg-variant imdbs: year-based metric,
+    # salted/cleaned results files) exactly like eval_engine.evaluate_model
+    kw = dict(getattr(dataset, "eval_kwargs", {}) or {})
+    kw.setdefault("use_07_metric", True)
     aps = evaluate_detections(
         dataset, all_boxes,
-        os.path.join(args.output_dir, args.net, args.dataset),
-        use_07_metric=True)
+        os.path.join(args.output_dir, args.net, args.dataset), **kw)
     print_eval(aps)
 
 

@@ -22,8 +22,7 @@ from tllod_tpu.data import DetectionLoader, combined_roidb  # noqa: E402
 from tllod_tpu.data.factory import register_dataset, data_dir  # noqa: E402
 from tllod_tpu.data.voc import CLASS_SETS, VOCDetection  # noqa: E402
 from tllod_tpu.methods.idf import IDFModel, idf_loss  # noqa: E402
-from tllod_tpu.parallel.mesh import (check_batch_divisible, make_mesh,  # noqa: E402
-                                      shard_batch)
+from tllod_tpu.parallel.mesh import shard_batch  # noqa: E402
 from tllod_tpu.train import create_train_state, make_train_step  # noqa: E402
 from tllod_tpu.utils.checkpoint import (resume_train_state,  # noqa: E402
                                         save_checkpoint)
@@ -107,9 +106,10 @@ def main():
     steps_per_epoch = min(len(s_loader), len(t_loader))
     schedule, tx = build_optimizer(args, cfg, steps_per_epoch)
     state = create_train_state(params, tx)
-    mesh = make_mesh() if args.m_chips else make_mesh(1)
-    if args.m_chips:
-        check_batch_divisible(args.batch_size, mesh)
+    if max(1, getattr(args, "fuse_steps", 1)) > 1:
+        raise NotImplementedError(
+            "--fuse_steps is not wired into IDF's bespoke loop (per-epoch "
+            "separation schedule + record files); drop the flag")
 
     def apply_fn(p, rngs, src, tgt):
         return model.apply({"params": p}, src, tgt, training=True, rngs=rngs)
@@ -129,14 +129,17 @@ def main():
         args.start_epoch = ckpt_epoch + 1
         print(f"resumed from {ckpt} (epoch {ckpt_epoch}, step {step})")
 
+    from common import setup_parallelism
+    mesh, state, spatial = setup_parallelism(args, state)
+
     for epoch in range(args.start_epoch, args.max_epochs + 1):
         sep = 1.0 if epoch >= args.sep_epoch else 0.0
         for _ in range(steps_per_epoch):
             src = next(s_it)
             src["separation"] = np.full((src["im_data"].shape[0],), sep,
                                         np.float32)
-            src = shard_batch(src, mesh)
-            tgt = shard_batch(next(t_it), mesh)
+            src = shard_batch(src, mesh, spatial=spatial)
+            tgt = shard_batch(next(t_it), mesh, spatial=spatial)
             state, metrics = train_step(state, rng, src, tgt)
             step += 1
             logger.update(step, epoch,

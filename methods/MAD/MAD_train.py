@@ -22,8 +22,7 @@ import numpy as np  # noqa: E402
 
 from tllod_tpu.data import DetectionLoader, combined_roidb  # noqa: E402
 from tllod_tpu.methods.mad import MADModel, mad_loss  # noqa: E402
-from tllod_tpu.parallel.mesh import (check_batch_divisible, make_mesh,  # noqa: E402
-                                      shard_batch)
+from tllod_tpu.parallel.mesh import shard_batch  # noqa: E402
 from tllod_tpu.train import create_train_state, make_train_step  # noqa: E402
 from tllod_tpu.utils.checkpoint import (resume_train_state,  # noqa: E402
                                         save_checkpoint)
@@ -94,9 +93,10 @@ def main():
     steps_per_epoch = min(len(l1), len(l2))
     schedule, tx = build_optimizer(args, cfg, steps_per_epoch)
     state = create_train_state(params, tx)
-    mesh = make_mesh() if args.m_chips else make_mesh(1)
-    if args.m_chips:
-        check_batch_divisible(args.batch_size, mesh)
+    if max(1, getattr(args, "fuse_steps", 1)) > 1:
+        raise NotImplementedError(
+            "--fuse_steps is not wired into MAD's bespoke loop (the "
+            "epoch-ramped abl_bl weight rides in each batch); drop the flag")
 
     def apply_fn(p, rngs, s1, s2):
         out = model.apply({"params": p}, s1, s2, training=True, rngs=rngs)
@@ -120,14 +120,17 @@ def main():
         args.start_epoch = ckpt_epoch + 1
         print(f"resumed from {ckpt} (epoch {ckpt_epoch}, step {step})")
 
+    from common import setup_parallelism
+    mesh, state, spatial = setup_parallelism(args, state)
+
     for epoch in range(args.start_epoch, args.max_epochs + 1):
         for _ in range(steps_per_epoch):
             s1 = next(it1)
             s2 = next(it2)
             s1["epoch"] = np.full((s1["im_data"].shape[0],), epoch,
                                   np.float32)
-            s1 = shard_batch(s1, mesh)
-            s2 = shard_batch(s2, mesh)
+            s1 = shard_batch(s1, mesh, spatial=spatial)
+            s2 = shard_batch(s2, mesh, spatial=spatial)
             state, metrics = train_step(state, rng, s1, s2)
             step += 1
             logger.update(step, epoch,

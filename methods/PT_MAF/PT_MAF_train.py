@@ -20,8 +20,7 @@ from tllod_tpu.methods.pt_maf import (PTMAFModel, gt_footprint_mask,  # noqa: E4
                                       pt_maf_kd_loss, pt_maf_loss)
 from tllod_tpu.models.faster_rcnn import FasterRCNN  # noqa: E402
 from tllod_tpu.models.rpn import rpn_probs  # noqa: E402
-from tllod_tpu.parallel.mesh import (check_batch_divisible, make_mesh,  # noqa: E402
-                                      shard_batch)
+from tllod_tpu.parallel.mesh import shard_batch  # noqa: E402
 from tllod_tpu.train import create_train_state, make_train_step  # noqa: E402
 from tllod_tpu.utils.checkpoint import (detector_params,  # noqa: E402
                                         load_checkpoint,
@@ -86,9 +85,10 @@ def main():
     steps_per_epoch = min(len(s_loader), len(t_loader))
     schedule, tx = build_optimizer(args, cfg, steps_per_epoch)
     state = create_train_state(params, tx)
-    mesh = make_mesh() if args.m_chips else make_mesh(1)
-    if args.m_chips:
-        check_batch_divisible(args.batch_size, mesh)
+    if max(1, getattr(args, "fuse_steps", 1)) > 1:
+        raise NotImplementedError(
+            "--fuse_steps is not wired into PT-MAF's bespoke loop (the "
+            "frozen teacher rides as a step argument); drop the flag")
 
     stride = cfg.FEAT_STRIDE[0]
     temperature = args.tmp
@@ -146,10 +146,13 @@ def main():
         args.start_epoch = ckpt_epoch + 1
         print(f"resumed from {ckpt} (epoch {ckpt_epoch}, step {step})")
 
+    from common import setup_parallelism
+    mesh, state, spatial = setup_parallelism(args, state)
+
     for epoch in range(args.start_epoch, args.max_epochs + 1):
         for _ in range(steps_per_epoch):
-            src = shard_batch(next(s_it), mesh)
-            tgt = shard_batch(next(t_it), mesh)
+            src = shard_batch(next(s_it), mesh, spatial=spatial)
+            tgt = shard_batch(next(t_it), mesh, spatial=spatial)
             state, metrics = train_step(state, rng, src, tgt,
                                         teacher_params)
             step += 1

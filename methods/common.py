@@ -288,10 +288,9 @@ class MetricLogger:
         self.n = 0
         self.jsonl = open(jsonl_path, "a") if jsonl_path else None
 
-    def update(self, step: int, epoch: int, lr, metrics: Dict) -> None:
+    def _rekey(self, metrics: Dict) -> None:
         import jax
         import jax.numpy as jnp
-        import numpy as np
 
         if self.keys is None or self.keys != sorted(metrics):
             self.keys = sorted(metrics)
@@ -299,11 +298,40 @@ class MetricLogger:
             self.acc_fn = jax.jit(
                 lambda acc, *vals: acc + jnp.stack(
                     [jnp.asarray(v, jnp.float32) for v in vals]))
+            # stacked variant for fused K-step metrics: ONE dispatch folds
+            # the whole (K,) column per key (slicing v[i] per step would
+            # issue K×n_keys tiny gathers and undo --fuse_steps' point)
+            self.acc_many_fn = jax.jit(
+                lambda acc, *vals: acc + jnp.stack(
+                    [jnp.sum(jnp.asarray(v, jnp.float32)) for v in vals]))
             self.n = 0
+
+    def update_many(self, last_step: int, epoch: int, lr, metricsK: Dict,
+                    k: int) -> None:
+        """Fold k fused steps (every metric carries a leading (k,) axis) in
+        one device dispatch; the display fires when the interval boundary
+        was crossed anywhere inside the fused window."""
+        self._rekey(metricsK)
+        self.acc_vec = self.acc_many_fn(self.acc_vec,
+                                        *[metricsK[key] for key in self.keys])
+        self.n += k
+        crossed = (last_step // self.interval) > \
+            ((last_step - k) // self.interval)
+        self._maybe_display(last_step, epoch, lr, crossed)
+
+    def update(self, step: int, epoch: int, lr, metrics: Dict) -> None:
+        self._rekey(metrics)
         self.acc_vec = self.acc_fn(self.acc_vec,
                                    *[metrics[k] for k in self.keys])
         self.n += 1
-        if step % self.interval == 0 and self.n:
+        self._maybe_display(step, epoch, lr, step % self.interval == 0)
+
+    def _maybe_display(self, step: int, epoch: int, lr,
+                       display: bool) -> None:
+        import jax.numpy as jnp
+        import numpy as np
+
+        if display and self.n:
             vals = np.asarray(self.acc_vec) / self.n   # ONE device fetch
             dt = time.time() - self.t0
             avg = dict(zip(self.keys, vals.tolist()))
@@ -392,7 +420,14 @@ def setup_parallelism(args, state):
 def stack_batches(it, k: int, mesh, spatial: bool = False):
     """k loader batches → one dict with a leading scan axis for the fused
     K-step trainer (``--fuse_steps``), placed so dim 1 (the per-step batch)
-    shards over "data" (and image height over "model" under ``--sp``)."""
+    shards over "data" (and image height over "model" under ``--sp``).
+
+    Loader batches pad images only to their own batch's max shape, so the
+    k batches can disagree on (H, W); zero-pad every array to the
+    elementwise max before stacking — identical semantics to the loader's
+    own within-batch zero padding (``im_info`` keeps the true sizes, so
+    anchors/proposals in the padding are masked exactly as before).
+    """
     import jax
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -400,7 +435,17 @@ def stack_batches(it, k: int, mesh, spatial: bool = False):
     bs = [next(it) for _ in range(k)]
     out = {}
     for key in bs[0]:
-        v = np.stack([b[key] for b in bs])
+        vals = [np.asarray(b[key]) for b in bs]
+        shape = tuple(max(v.shape[d] for v in vals)
+                      for d in range(vals[0].ndim))
+        if any(v.shape != shape for v in vals):
+            padded = []
+            for v in vals:
+                pv = np.zeros(shape, v.dtype)
+                pv[tuple(slice(0, s) for s in v.shape)] = v
+                padded.append(pv)
+            vals = padded
+        v = np.stack(vals)
         spec = (P(None, "data", "model") if spatial and key == "im_data"
                 else P(None, "data"))
         out[key] = jax.device_put(v, NamedSharding(mesh, spec))

@@ -121,13 +121,13 @@ def run_da_training(method_name: str, model_ctor: Callable,
                 srcK = stack_batches(s_it, fuse, mesh, spatial)
                 tgtK = stack_batches(t_it, fuse, mesh, spatial)
                 state, metricsK = train_multi(state, rng, srcK, tgtK)
-                for i in range(fuse):
-                    step += 1
-                    todo -= 1
-                    if profiler is not None:
-                        profiler.tick(step)
-                    logger.update(step, epoch, lambda s=step: schedule(s),
-                                  {k: v[i] for k, v in metricsK.items()})
+                if profiler is not None:
+                    for i in range(fuse):
+                        profiler.tick(step + i + 1)
+                step += fuse
+                todo -= fuse
+                logger.update_many(step, epoch, lambda s=step: schedule(s),
+                                   metricsK, fuse)
             else:
                 src = shard_batch(next(s_it), mesh, spatial=spatial)
                 tgt = shard_batch(next(t_it), mesh, spatial=spatial)

@@ -89,11 +89,10 @@ def main():
             if train_multi is not None and todo >= fuse:
                 batchK = stack_batches(it, fuse, mesh, spatial)
                 state, metricsK = train_multi(state, rng, batchK)
-                for i in range(fuse):
-                    step += 1
-                    todo -= 1
-                    logger.update(step, epoch, lambda s=step: schedule(s),
-                                  {k: v[i] for k, v in metricsK.items()})
+                step += fuse
+                todo -= fuse
+                logger.update_many(step, epoch, lambda s=step: schedule(s),
+                                   metricsK, fuse)
             else:
                 batch = shard_batch(next(it), mesh, spatial=spatial)
                 state, metrics = train_step(state, rng, batch)

@@ -60,3 +60,28 @@ def test_fused_two_steps_match_two_single_steps():
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-7)
+
+
+def test_stack_batches_pads_variable_shapes():
+    """Loader batches pad to their own max (H, W); stack_batches must
+    zero-pad to a common shape instead of crashing mid-epoch on
+    variable-size datasets (np.stack shape mismatch)."""
+    sys.path.insert(0, os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..", "methods")))
+    import jax
+    from common import stack_batches
+    from tllod_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(1)
+    batches = iter([
+        {"im_data": np.ones((1, 100, 200, 3), np.float32),
+         "im_info": np.array([[100, 200, 1.0]], np.float32)},
+        {"im_data": np.ones((1, 200, 100, 3), np.float32),
+         "im_info": np.array([[200, 100, 1.0]], np.float32)},
+    ])
+    out = stack_batches(batches, 2, mesh)
+    assert out["im_data"].shape == (2, 1, 200, 200, 3)
+    got = np.asarray(out["im_data"])
+    assert got[0, 0, :100, :200].all() and not got[0, 0, 100:].any()
+    assert got[1, 0, :200, :100].all() and not got[1, 0, :, 100:].any()
+    np.testing.assert_array_equal(np.asarray(out["im_info"]).shape, (2, 1, 3))

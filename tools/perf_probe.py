@@ -77,6 +77,9 @@ def main():
                          "jitted dispatch (isolates per-dispatch host/tunnel "
                          "overhead from device step time)")
     args = ap.parse_args()
+    if args.precision:
+        # process-wide so EVERY probe honors it, not just the backbone one
+        jax.config.update("jax_default_matmul_precision", args.precision)
 
     import dataclasses
     import os
@@ -124,11 +127,7 @@ def main():
             ch = _VGG_BLOCKS[stages[0] - 1][0]
             x = jnp.zeros((b, h // sc, w // sc, ch), jnp.float32)
         x = jax.device_put(x)
-        if args.precision:
-            with jax.default_matmul_precision(args.precision):
-                ms = _timeit(lambda p: step(p, x), args.steps, params) * 1e3
-        else:
-            ms = _timeit(lambda p: step(p, x), args.steps, params) * 1e3
+        ms = _timeit(lambda p: step(p, x), args.steps, params) * 1e3
         ips = 1e3 / ms * b
     elif args.probe in ("proposal", "anchortgt"):
         from tllod_tpu.models.rpn import anchor_target, proposal_layer
@@ -264,8 +263,8 @@ def main():
             ms = _timeit(lambda p: fwd(p, im)["cls_prob"],
                          args.steps, params) * 1e3
         elif args.probe == "evalpost":
-            out = {k: fwd(params, im)[k]
-                   for k in ("rois", "cls_prob", "bbox_pred")}
+            o = fwd(params, im)
+            out = {k: o[k] for k in ("rois", "cls_prob", "bbox_pred")}
             jax.block_until_ready(out)
             ms = _timeit(post, args.steps, out) * 1e3
         else:
