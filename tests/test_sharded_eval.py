@@ -84,3 +84,33 @@ def test_sharded_eval_matches_single_device(tmp_path):
                          capture_output=True, text=True, timeout=1200)
     assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-2000:])
     assert "sharded eval parity OK" in res.stdout
+
+
+def test_eval_vis_writes_images(tmp_path, rng):
+    """--vis through the batched double-buffered loop: one annotated image
+    per input lands in <vis_dir>/vis (reference DAF_test.py:299-345)."""
+    import glob
+    import os
+
+    import jax
+
+    from tllod_tpu.eval_engine import run_detection
+    from tllod_tpu.models.faster_rcnn import FasterRCNN
+
+    cfg = _tiny_cfg()
+    dataset = _FakeDataset()
+    roidb = _write_images(tmp_path, rng, [(64, 128)] * 3)
+    for i, e in enumerate(roidb):
+        e["img_id"] = f"se{i}"
+    model = FasterRCNN(num_classes=dataset.num_classes, cfg=cfg, net="vgg16")
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        np.zeros((1, 64, 128, 3), np.float32),
+        np.array([[64, 128, 1.0]], np.float32),
+        np.zeros((1, cfg.MAX_NUM_GT_BOXES, 5), np.float32),
+        training=False)["params"]
+    out_dir = str(tmp_path / "evalvis")
+    run_detection(model, params, dataset, roidb, cfg, verbose_every=0,
+                  eval_batch=2, vis=True, vis_dir=out_dir, vis_thresh=0.0)
+    written = glob.glob(os.path.join(out_dir, "vis", "*"))
+    assert len(written) == 3, written
