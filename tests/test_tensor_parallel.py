@@ -175,3 +175,24 @@ def test_resnet_head_tp_loss_matches_single_device():
     tp = float(jax.jit(loss_fn)(params_tp, b_s))
     assert np.isfinite(single) and np.isfinite(tp)
     np.testing.assert_allclose(tp, single, rtol=1e-4, atol=1e-5)
+
+
+def test_sp_backbone_partitions_with_halo_exchange():
+    """The spatially-sharded backbone must compile to halo exchanges
+    (collective-permute between H-neighbors), NOT an input all-gather —
+    i.e. --sp genuinely splits the conv FLOPs model-ways."""
+    from tllod_tpu.models.backbones import VGG16Features
+    from tllod_tpu.parallel.mesh import make_mesh_2d
+
+    import jax.numpy as jnp
+
+    net = VGG16Features()
+    x = jnp.zeros((2, 128, 256, 3))
+    params = net.init(jax.random.PRNGKey(0), x)["params"]
+    mesh = make_mesh_2d(2, 4)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "model")))
+    ps = jax.device_put(params, NamedSharding(mesh, P()))
+    txt = jax.jit(lambda p, v: net.apply({"params": p}, v)).lower(
+        ps, xs).compile().as_text()
+    assert txt.count("collective-permute") > 0
+    assert txt.count("all-gather") == 0
