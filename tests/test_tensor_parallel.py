@@ -196,3 +196,24 @@ def test_sp_backbone_partitions_with_halo_exchange():
         ps, xs).compile().as_text()
     assert txt.count("collective-permute") > 0
     assert txt.count("all-gather") == 0
+
+
+def test_tp_fc_head_reduces_without_gather():
+    """The Megatron-split fc stack must compile to all-reduce(s) for the
+    fc7 row-parallel contraction with NO all-gather — activations stay
+    sharded through fc6→relu→dropout→fc7."""
+    from tllod_tpu.models.backbones import VGG16Head
+    from tllod_tpu.parallel.mesh import make_mesh_2d, tp_param_shardings
+
+    import jax.numpy as jnp
+
+    net = VGG16Head()
+    x = jnp.zeros((64, 7, 7, 512))
+    params = {"head": net.init(jax.random.PRNGKey(0), x)["params"]}
+    mesh = make_mesh_2d(2, 4)
+    ps = jax.device_put(params, tp_param_shardings(params, mesh))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    txt = jax.jit(lambda p, v: net.apply({"params": p["head"]}, v)).lower(
+        ps, xs).compile().as_text()
+    assert txt.count("all-reduce") > 0
+    assert txt.count("all-gather") == 0
