@@ -47,8 +47,28 @@ def main():
     parser.add_argument("--T_Part", default="test", type=str)
     parser.add_argument("--T_Type", default="s1", type=str)
     parser.add_argument("--DataYear", default="2007", type=str)
-    parser.add_argument("--Mission", default="unnamed", type=str)
+    # upstream-compat flags (MAD_train.py:128-180): --loadname names the
+    # resume checkpoint inside save_dir; --log_flag gates the extra txt
+    # logs (mapped to the JSONL metrics sink); --mode selects the
+    # train/test entry inside upstream's single script; --DaraType (sic)
+    # is parsed upstream but never used.
+    parser.add_argument("--loadname", default=None, type=str,
+                        help="with --r: checkpoint name under save_dir "
+                             "(reference MAD_train.py:481)")
+    parser.add_argument("--log_flag", action="store_true",
+                        help="alias of --use_tfb (upstream txt loss logs)")
+    parser.add_argument("--mode", default="train_model",
+                        choices=("train_model", "test_model"))
+    parser.add_argument("--DaraType", dest="DataType", default="s1",
+                        type=str, help="parsed but unused upstream "
+                                       "(MAD_train.py:176); accepted for "
+                                       "script compatibility")
     args = parser.parse_args()
+    if args.mode == "test_model":
+        raise SystemExit("--mode test_model: use methods/MAD/MAD_test.py "
+                         "(this repo splits upstream's single script)")
+    if args.log_flag:
+        args.use_tfboard = True
     print("Called with args:", args)
     cfg = resolve_config(args)
     np.random.seed(cfg.RNG_SEED)
@@ -114,8 +134,8 @@ def main():
     step = 0
     if args.resume:
         ckpt = os.path.join(
-            output_dir, f"mad_{args.checksession}_"
-                        f"{args.checkepoch}_{args.checkpoint}")
+            output_dir, args.loadname or
+            f"mad_{args.checksession}_{args.checkepoch}_{args.checkpoint}")
         state, ckpt_epoch, step = resume_train_state(state, ckpt)
         args.start_epoch = ckpt_epoch + 1
         print(f"resumed from {ckpt} (epoch {ckpt_epoch}, step {step})")

@@ -14,6 +14,10 @@ def main():
     parser.add_argument("--source_intra", action="store_true",
                         help="vgg16_source_intra variant: CLUB pools gt-RoI "
                              "features from the main branch")
+    parser.add_argument("--use_ins", dest="ins", action="store_true",
+                        help="parsed but never consumed upstream "
+                             "(PA_ATF_train.py:135-137); accepted for "
+                             "drop-in script compatibility, ignored")
     args = parser.parse_args()
     run_da_training(
         "pa_atf", PAATFModel,

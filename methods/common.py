@@ -70,6 +70,10 @@ def build_train_parser(description: str) -> argparse.ArgumentParser:
                         "same trajectory as the per-step loop up to XLA "
                         "reassociation (train.make_train_step_multi). No "
                         "reference counterpart (torch dispatches per step)")
+    p.add_argument("--Mission", default="unnamed", type=str,
+                   help="run name — upstream only sets the process title "
+                        "with it (e.g. PA_ATF_train.py:136,172); accepted "
+                        "for drop-in script compatibility, otherwise unused")
     p.add_argument("--o", dest="optimizer", default="sgd", type=str)
     p.add_argument("--lr", default=0.002, type=float)
     p.add_argument("--lr_decay_step", default=6, type=int)
