@@ -102,11 +102,13 @@ SET_CFGS = ["TRAIN.SCALES", "(128,)", "TEST.SCALES", "(128,)",
 TRAIN_CLI = {"daf": "methods/DAF/DAF_train.py",
              "mad": "methods/MAD/MAD_train.py",
              "atf": "methods/ATF/ATF_train.py",
-             "maf": "methods/MAF/MAF_train.py"}
+             "maf": "methods/MAF/MAF_train.py",
+             "us_daf": "methods/US_DAF/US_DAF_train.py"}
 TEST_CLI = {"daf": "methods/DAF/DAF_test.py",
             "mad": "methods/MAD/MAD_test.py",
             "atf": "methods/ATF/ATF_test.py",
-            "maf": "methods/MAF/MAF_test.py"}
+            "maf": "methods/MAF/MAF_test.py",
+            "us_daf": "methods/US_DAF/US_DAF_test.py"}
 
 
 def run(cmd, env, log_path):
@@ -123,6 +125,8 @@ def run(cmd, env, log_path):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--method", default="daf", choices=sorted(TRAIN_CLI))
+    ap.add_argument("--net", default="vgg16",
+                    help="backbone (us_daf's published setting is res101)")
     ap.add_argument("--root", default="/tmp/overfit_data")
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--lr", type=float, default=2e-3)
@@ -141,12 +145,13 @@ def main() -> None:
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
     m = args.method
-    save_dir = os.path.join(args.root, f"out_{m}")
+    save_dir = os.path.join(args.root, f"out_{m}_{args.net}"
+                            if args.net != "vgg16" else f"out_{m}")
     log = os.path.join(args.root, f"{m}.log")
     epochs = max(1, (args.steps + 15) // 16)   # 16 imgs/split, bs 1
     if not args.skip_train:
         rc = run([sys.executable, TRAIN_CLI[m], "--dataset", "cityscape",
-                  "--net", "vgg16", "--bs", "1", "--lr", str(args.lr),
+                  "--net", args.net, "--bs", "1", "--lr", str(args.lr),
                   "--lr_decay_step", "1000", "--epochs", str(epochs),
                   "--max_steps", str(args.steps), "--disp_interval", "20",
                   # each epoch save fetches ~1 GB over the TPU tunnel
@@ -157,16 +162,17 @@ def main() -> None:
             sys.exit(f"{m} training failed rc={rc} (see {log})")
 
     ckpts = sorted(
-        (f for f in os.listdir(os.path.join(save_dir, "vgg16", "cityscape"))
+        (f for f in os.listdir(os.path.join(save_dir, args.net,
+                                            "cityscape"))
          if re.match(rf"{m}_\d+_\d+_\d+$", f)),
         key=lambda f: int(f.rsplit("_", 1)[1]))
     assert ckpts, f"no checkpoints under {save_dir}"
-    ckpt = os.path.join(save_dir, "vgg16", "cityscape", ckpts[-1])
+    ckpt = os.path.join(save_dir, args.net, "cityscape", ckpts[-1])
 
     eval_log = os.path.join(args.root, f"{m}_eval.log")
     open(eval_log, "w").close()
     rc = run([sys.executable, TEST_CLI[m], "--dataset", "cityscape",
-              "--part", "test_s", "--net", "vgg16",
+              "--part", "test_s", "--net", args.net,
               "--load_name", ckpt,
               "--output_dir", os.path.join(args.root, f"eval_{m}"),
               "--set"] + SET_CFGS, env, eval_log)
@@ -183,7 +189,8 @@ def main() -> None:
     if os.path.exists(out_path):
         with open(out_path) as f:
             results = json.load(f)
-    results[m] = {"steps": args.steps, "lr": args.lr,
+    key = m if args.net == "vgg16" else f"{m}_{args.net}"
+    results[key] = {"steps": args.steps, "lr": args.lr, "net": args.net,
                   "train_map_overfit": final_map,
                   "checkpoint": ckpt,
                   "backend": "tpu" if "tpu" in text.lower() or
