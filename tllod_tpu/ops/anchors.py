@@ -6,6 +6,12 @@ enumeration around a ``base_size × base_size`` window with integer-rounded
 ratio widths — validated against the 9-anchor MATLAB oracle table embedded in
 the reference's comments (``generate_anchors.py:12-37``).
 
+Provenance: the ``_whctrs`` / ``_mkanchors`` / ``_ratio_enum`` / ``_scale_enum``
+helper decomposition is the ubiquitous MIT-licensed py-faster-rcnn original
+(Ross Girshick / Sean Bell), kept verbatim on purpose: this is a ~60-line
+compile-time constant-table generator whose output must be bit-exact to the
+MATLAB oracle, not fresh code.
+
 Anchors are compile-time constants on TPU: generated once in numpy, baked into
 the jitted program. The per-cell shifting (reference ``proposal_layer.py:80-93``
 np.meshgrid) happens in :func:`shift_anchors`, also host-side numpy, because
