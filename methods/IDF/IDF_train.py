@@ -106,15 +106,18 @@ def main():
     steps_per_epoch = min(len(s_loader), len(t_loader))
     schedule, tx = build_optimizer(args, cfg, steps_per_epoch)
     state = create_train_state(params, tx)
-    if max(1, getattr(args, "fuse_steps", 1)) > 1:
-        raise NotImplementedError(
-            "--fuse_steps is not wired into IDF's bespoke loop (per-epoch "
-            "separation schedule + record files); drop the flag")
 
     def apply_fn(p, rngs, src, tgt):
         return model.apply({"params": p}, src, tgt, training=True, rngs=rngs)
 
     train_step = make_train_step(apply_fn, idf_loss, tx)
+    fuse = max(1, getattr(args, "fuse_steps", 1))
+    train_multi = None
+    if fuse > 1:
+        # the per-epoch separation gate rides in each batch (traced scalar),
+        # so the fused scan reads each step's own value
+        from tllod_tpu.train import make_train_step_multi
+        train_multi = make_train_step_multi(apply_fn, idf_loss, tx)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
     logger = MetricLogger(args.disp_interval)
     output_dir = os.path.join(args.save_dir, args.net, args.dataset)
@@ -132,38 +135,63 @@ def main():
     from common import setup_parallelism
     mesh, state, spatial = setup_parallelism(args, state)
 
+    def write_records(step_i: int, epoch: int, metrics_row: dict) -> None:
+        # per-run txt records (reference IDF_train.py:399-415):
+        # record_loss.txt = every named loss, record_dist.txt = the six
+        # per-block branch distances
+        head = (f"[session {args.session}][epoch {epoch:2d}]"
+                f"[iter {step_i:4d}/{steps_per_epoch:4d}] ")
+        losses = {k: v for k, v in metrics_row.items()
+                  if not k.startswith("dist")}
+        dists = {k: v for k, v in metrics_row.items()
+                 if k.startswith("dist")}
+        with open(os.path.join(output_dir, "record_loss.txt"), "a") as f:
+            f.write(head + ", ".join(
+                f"{k}: {float(v):.4f}"
+                for k, v in sorted(losses.items())) + "\n")
+        with open(os.path.join(output_dir, "record_dist.txt"), "a") as f:
+            f.write(head + ", ".join(
+                f"{k}: {float(v):.4f}"
+                for k, v in sorted(dists.items())) + "\n")
+
     for epoch in range(args.start_epoch, args.max_epochs + 1):
         sep = 1.0 if epoch >= args.sep_epoch else 0.0
-        for _ in range(steps_per_epoch):
-            src = next(s_it)
-            src["separation"] = np.full((src["im_data"].shape[0],), sep,
-                                        np.float32)
-            src = shard_batch(src, mesh, spatial=spatial)
-            tgt = shard_batch(next(t_it), mesh, spatial=spatial)
-            state, metrics = train_step(state, rng, src, tgt)
-            step += 1
-            logger.update(step, epoch,
-                          lambda s=step: schedule(s), metrics)
-            if step % args.disp_interval == 0:
-                # per-run txt records (reference IDF_train.py:399-415):
-                # record_loss.txt = every named loss, record_dist.txt =
-                # the six per-block branch distances
-                head = (f"[session {args.session}][epoch {epoch:2d}]"
-                        f"[iter {step:4d}/{steps_per_epoch:4d}] ")
-                losses = {k: v for k, v in metrics.items()
-                          if not k.startswith("dist")}
-                dists = {k: v for k, v in metrics.items()
-                         if k.startswith("dist")}
-                with open(os.path.join(output_dir, "record_loss.txt"),
-                          "a") as f:
-                    f.write(head + ", ".join(
-                        f"{k}: {float(v):.4f}"
-                        for k, v in sorted(losses.items())) + "\n")
-                with open(os.path.join(output_dir, "record_dist.txt"),
-                          "a") as f:
-                    f.write(head + ", ".join(
-                        f"{k}: {float(v):.4f}"
-                        for k, v in sorted(dists.items())) + "\n")
+
+        def with_sep(it, sep=sep):
+            while True:
+                src = next(it)
+                src["separation"] = np.full((src["im_data"].shape[0],), sep,
+                                            np.float32)
+                yield src
+        s_it_sep = with_sep(s_it)
+        todo = steps_per_epoch
+        if args.max_steps:
+            todo = min(todo, max(0, args.max_steps - step))
+        while todo > 0:
+            if train_multi is not None and todo >= fuse:
+                from common import stack_batches
+                srcK = stack_batches(s_it_sep, fuse, mesh, spatial)
+                tgtK = stack_batches(t_it, fuse, mesh, spatial)
+                state, metricsK = train_multi(state, rng, srcK, tgtK)
+                step += fuse
+                todo -= fuse
+                logger.update_many(step, epoch, lambda s=step: schedule(s),
+                                   metricsK, fuse)
+                for i in range(fuse):
+                    si = step - fuse + i + 1
+                    if si % args.disp_interval == 0:
+                        write_records(si, epoch,
+                                      {k: v[i] for k, v in metricsK.items()})
+            else:
+                src = shard_batch(next(s_it_sep), mesh, spatial=spatial)
+                tgt = shard_batch(next(t_it), mesh, spatial=spatial)
+                state, metrics = train_step(state, rng, src, tgt)
+                step += 1
+                todo -= 1
+                logger.update(step, epoch,
+                              lambda s=step: schedule(s), metrics)
+                if step % args.disp_interval == 0:
+                    write_records(step, epoch, metrics)
             if args.max_steps and step >= args.max_steps:
                 break
         done = ((args.max_steps and step >= args.max_steps)

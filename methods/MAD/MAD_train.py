@@ -113,19 +113,22 @@ def main():
     steps_per_epoch = min(len(l1), len(l2))
     schedule, tx = build_optimizer(args, cfg, steps_per_epoch)
     state = create_train_state(params, tx)
-    if max(1, getattr(args, "fuse_steps", 1)) > 1:
-        raise NotImplementedError(
-            "--fuse_steps is not wired into MAD's bespoke loop (the "
-            "epoch-ramped abl_bl weight rides in each batch); drop the flag")
 
     def apply_fn(p, rngs, s1, s2):
         out = model.apply({"params": p}, s1, s2, training=True, rngs=rngs)
-        # epoch-ramped loss weight rides in the batch (traced scalar)
+        # epoch-ramped loss weight rides in the batch (traced scalar) — this
+        # is also what lets --fuse_steps scan it: each fused step reads its
+        # own batch's epoch value
         out["epoch"] = s1["epoch"][0]
         return out
 
-    train_step = make_train_step(apply_fn,
-                                 lambda out: mad_loss(out, out["epoch"]), tx)
+    mad_loss_fn = lambda out: mad_loss(out, out["epoch"])  # noqa: E731
+    train_step = make_train_step(apply_fn, mad_loss_fn, tx)
+    fuse = max(1, getattr(args, "fuse_steps", 1))
+    train_multi = None
+    if fuse > 1:
+        from tllod_tpu.train import make_train_step_multi
+        train_multi = make_train_step_multi(apply_fn, mad_loss_fn, tx)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
     logger = MetricLogger(args.disp_interval)
     output_dir = os.path.join(args.save_dir, args.net, args.dataset)
@@ -144,17 +147,36 @@ def main():
     mesh, state, spatial = setup_parallelism(args, state)
 
     for epoch in range(args.start_epoch, args.max_epochs + 1):
-        for _ in range(steps_per_epoch):
-            s1 = next(it1)
-            s2 = next(it2)
-            s1["epoch"] = np.full((s1["im_data"].shape[0],), epoch,
-                                  np.float32)
-            s1 = shard_batch(s1, mesh, spatial=spatial)
-            s2 = shard_batch(s2, mesh, spatial=spatial)
-            state, metrics = train_step(state, rng, s1, s2)
-            step += 1
-            logger.update(step, epoch,
-                          lambda s=step: schedule(s), metrics)
+        def with_epoch(it, epoch=None):
+            # inject the epoch weight into each view-1 batch (the traced
+            # scalar mad_loss ramps on) before sharding/stacking
+            while True:
+                s1 = next(it)
+                s1["epoch"] = np.full((s1["im_data"].shape[0],), epoch,
+                                      np.float32)
+                yield s1
+        it1e = with_epoch(it1, epoch=epoch)
+        todo = steps_per_epoch
+        if args.max_steps:
+            todo = min(todo, max(0, args.max_steps - step))
+        while todo > 0:
+            if train_multi is not None and todo >= fuse:
+                from common import stack_batches
+                s1K = stack_batches(it1e, fuse, mesh, spatial)
+                s2K = stack_batches(it2, fuse, mesh, spatial)
+                state, metricsK = train_multi(state, rng, s1K, s2K)
+                step += fuse
+                todo -= fuse
+                logger.update_many(step, epoch, lambda s=step: schedule(s),
+                                   metricsK, fuse)
+            else:
+                s1 = shard_batch(next(it1e), mesh, spatial=spatial)
+                s2 = shard_batch(next(it2), mesh, spatial=spatial)
+                state, metrics = train_step(state, rng, s1, s2)
+                step += 1
+                todo -= 1
+                logger.update(step, epoch,
+                              lambda s=step: schedule(s), metrics)
             if args.max_steps and step >= args.max_steps:
                 break
         done = ((args.max_steps and step >= args.max_steps)

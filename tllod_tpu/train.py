@@ -82,7 +82,8 @@ def make_train_step(apply_fn: Callable, loss_fn: Callable,
 
 def make_train_step_multi(apply_fn: Callable, loss_fn: Callable,
                           tx: optax.GradientTransformation,
-                          *, donate: bool = True) -> Callable:
+                          *, donate: bool = True,
+                          n_invariant: int = 0) -> Callable:
     """Build a fused K-step train program: ``lax.scan`` over K stacked
     batches inside ONE jitted dispatch.
 
@@ -105,11 +106,20 @@ def make_train_step_multi(apply_fn: Callable, loss_fn: Callable,
     ``tests/test_fused_steps.py``).
     """
 
-    def multi_step(state: TrainState, rng: jax.Array, *stacked_batch_args):
-        def body(state, batch_args):
-            return _step_body(apply_fn, loss_fn, tx, state, rng, batch_args)
+    def multi_step(state: TrainState, rng: jax.Array, *args):
+        # the last n_invariant args are scan-INVARIANT (e.g. PT-MAF's frozen
+        # teacher params): passed once per dispatch, closed over by the scan
+        # body rather than stacked K times
+        if n_invariant:
+            stacked, inv = args[:-n_invariant], args[-n_invariant:]
+        else:
+            stacked, inv = args, ()
 
-        return jax.lax.scan(body, state, stacked_batch_args)
+        def body(state, batch_args):
+            return _step_body(apply_fn, loss_fn, tx, state, rng,
+                              tuple(batch_args) + tuple(inv))
+
+        return jax.lax.scan(body, state, stacked)
 
     return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
 
