@@ -48,11 +48,12 @@ CASES = [
 ]
 
 
-def _train(model, loss_fn, src, tgt, n_steps=N_STEPS, lr=0.005):
+def _train(model, loss_fn, src, tgt, n_steps=N_STEPS, lr=0.005,
+           clip_norm=10.0):
     params = model.init(
         {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
          "dropout": jax.random.PRNGKey(2)}, src, tgt, training=True)["params"]
-    tx = make_sgd(lr, clip_norm=10.0)
+    tx = make_sgd(lr, clip_norm=clip_norm)
     state = create_train_state(params, tx)
 
     def apply_fn(p, rngs, src, tgt):
@@ -127,6 +128,29 @@ def test_supervised_baseline_learns():
         hist.append(float(metrics["loss"]))
     assert all(np.isfinite(v) for v in hist)
     assert np.mean(hist[-3:]) < np.mean(hist[:3]), hist
+
+
+def test_res_backbone_learns():
+    """Random-init ResNet-family train path (US-DAF's flagship backbone is
+    res101, ``/root/reference/lib/US_DAF/DA.py:72``): with every BN frozen
+    (FrozenBN) only the zero-init of each bottleneck's last conv controls
+    residual variance at init — without it activations reach ~2e3 and the
+    UNCLIPPED resnet optimizer (clip is vgg16-only, reference parity)
+    NaNs within steps. Regression for the round-3 ``us_daf_res101``
+    overfit failure (OVERFIT.json 0.0). ``res14`` is the thin test variant
+    of the identical block/freeze code path; ``clip_norm=None`` mirrors
+    the production resnet optimizer."""
+    cfg = ge._tiny_cfg(post_train=16, post_test=8, pre=64, roi_batch=8)
+    model = USDAFModel(num_classes=9, cfg=cfg, net="res14")
+    src = ge._make_batch(1, 128, 128, domain=1, seed=0)
+    tgt = ge._make_batch(1, 128, 128, domain=0, seed=1)
+    det, total = _train(model, us_daf_loss, src, tgt, lr=0.002,
+                        clip_norm=None)
+    assert all(np.isfinite(v) for v in total), total
+    first, last = np.mean(det[:3]), np.mean(det[-3:])
+    assert last < first, (
+        f"res backbone: detection loss did not decrease "
+        f"(first3={first:.4f} last3={last:.4f}, trajectory={det})")
 
 
 def test_daf_learns_bf16():

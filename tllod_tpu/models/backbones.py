@@ -122,7 +122,21 @@ class FrozenBN(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """ResNet bottleneck block (1x1 → 3x3 → 1x1, expansion 4)."""
+    """ResNet bottleneck block (1x1 → 3x3 → 1x1, expansion 4).
+
+    ``conv3`` is ZERO-initialized: with every BN frozen to an affine
+    constant (the reference's permanent-eval BN, see :class:`FrozenBN`)
+    nothing controls activation variance at random init, so ~30 stacked
+    residual adds make a random-init ResNet-101 emit features with
+    std ≈ 2e3 and the unclipped reference optimizer (clip is vgg16-only,
+    ``lib/trainval_net.py`` parity) diverges to NaN within steps. Zeroing
+    the last conv makes each block the identity at init — the weight-level
+    analog of torchvision's ``zero_init_residual`` (whose BN-gamma form is
+    unavailable here exactly because BN is frozen). Restoring pretrained
+    weights overwrites it, so finetuning parity is untouched; only
+    from-scratch trainability changes (diagnosed in round 4:
+    OVERFIT.json ``us_daf_res101`` NaN).
+    """
 
     planes: int
     stride: int = 1
@@ -141,7 +155,7 @@ class Bottleneck(nn.Module):
         y = FrozenBN(self.planes, dtype=self.dtype, name="bn2")(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv3")(y)
+                    kernel_init=nn.initializers.zeros, name="conv3")(y)
         y = FrozenBN(self.planes * 4, dtype=self.dtype, name="bn3")(y)
         if self.downsample:
             residual = nn.Conv(self.planes * 4, (1, 1), strides=self.stride,
@@ -152,8 +166,12 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
-# layers per stage for each depth (reference resnet.py:186-218)
-RESNET_STAGES = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+# layers per stage for each depth (reference resnet.py:186-218).
+# 14 is a test-only thin variant (1 bottleneck/stage): the identical
+# FrozenBN / fixed_blocks / zero-init-conv3 code path at CI-friendly
+# compile cost (tests/test_learning.py::test_res_backbone_learns).
+RESNET_STAGES = {14: (1, 1, 1, 1), 50: (3, 4, 6, 3), 101: (3, 4, 23, 3),
+                 152: (3, 8, 36, 3)}
 
 
 class ResNetFeatures(nn.Module):
@@ -213,8 +231,8 @@ def backbone_dims(net: str) -> Tuple[int, int]:
     """(feature_channels, head_dim) without constructing modules — for
     callers inside flax ``setup`` that only need the widths."""
     return {"vgg16": (512, 4096), "vgg16_thin": (128, 512),
-            "res50": (1024, 2048), "res101": (1024, 2048),
-            "res152": (1024, 2048)}[net]
+            "res14": (1024, 2048), "res50": (1024, 2048),
+            "res101": (1024, 2048), "res152": (1024, 2048)}[net]
 
 
 def backbone_for(net: str, dtype=jnp.float32
@@ -233,7 +251,7 @@ def backbone_for(net: str, dtype=jnp.float32
         # emulated-CPU check isn't dominated by replicating 0.5 GB of params
         return (VGG16Features(dtype=dtype, width=0.25),
                 VGG16Head(dtype=dtype, dim=512), 128, 512)
-    if net in ("res50", "res101", "res152"):
+    if net in ("res14", "res50", "res101", "res152"):
         depth = int(net[3:])
         return (ResNetFeatures(depth=depth, dtype=dtype),
                 ResNetHead(depth=depth, dtype=dtype), 1024, 2048)
