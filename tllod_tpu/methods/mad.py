@@ -150,6 +150,16 @@ def _sym_diff(a, b):
                   + _mse(b, jax.lax.stop_gradient(a)))
 
 
+def mv_consistency(ins_prob_mean, img_score_mean, channel: int):
+    """SUM((mean per-RoI sigmoid − detached mean image-head prob on
+    ``channel``)²) — the MV consistency term (reference
+    ``lib/MAD/faster_rcnn.py:470-481``, MSELoss(size_average=False));
+    golden-pinned vs torch in tests/test_golden_methods.py."""
+    target = jax.lax.stop_gradient(
+        jax.nn.softmax(img_score_mean, -1)[..., channel].mean())
+    return jnp.sum((ins_prob_mean - target) ** 2)
+
+
 class MADModel(nn.Module):
     """Param subtrees: detector, img_da, ins_da, per-view img/ins
     encoder+decoder+heads, layernorms."""
@@ -298,11 +308,8 @@ class MADModel(nn.Module):
         mv_score2 = sum(scores2) / 3.0
         mv_ins1 = sum(iprobs1) / 3.0
         mv_ins2 = sum(iprobs2) / 3.0
-        mvc1 = jnp.sum((mv_ins1 - jax.lax.stop_gradient(
-            jax.nn.softmax(mv_score1, -1)[..., 1].mean())) ** 2)
-        mvc2 = jnp.sum((mv_ins2 - jax.lax.stop_gradient(
-            jax.nn.softmax(mv_score2, -1)[..., 0].mean())) ** 2)
-        out["mv_cst_loss"] = mvc1 + mvc2
+        out["mv_cst_loss"] = (mv_consistency(mv_ins1, mv_score1, 1)
+                              + mv_consistency(mv_ins2, mv_score2, 0))
         return out
 
 
