@@ -125,3 +125,47 @@ def test_roi_pool_matches_cuda_semantics(rng):
     want = _pool_oracle(feat.transpose(0, 3, 1, 2), rois, 7, 1.0 / 16)
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_dense_grid_sample_identity_and_shift(rng):
+    """DenseAffineGridGen semantics (gridgen.py:108-140): zero offsets ==
+    identity grid == align_corners bilinear resample of the full map; a
+    constant +2px x-offset shifts the sample points exactly 2 columns."""
+    from tllod_tpu.ops.roi_crop import dense_grid_sample
+
+    h, w, c = 9, 13, 3
+    feat = rng.rand(1, h, w, c).astype(np.float32)
+    g = 5
+
+    # identity: grid points land at linspace(0, dim-1, g) -> compare to a
+    # direct bilinear oracle at those exact coordinates
+    offs = np.zeros((2, g, g, 2), np.float32)
+    got = np.asarray(dense_grid_sample(jnp.asarray(feat),
+                                       jnp.asarray(offs),
+                                       jnp.zeros((2,), np.int32)))
+    ys = np.linspace(0, h - 1, g)
+    xs = np.linspace(0, w - 1, g)
+
+    def bilin(y, x):
+        y0, x0 = int(np.floor(y)), int(np.floor(x))
+        y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+        fy, fx = y - y0, x - x0
+        return ((1 - fy) * (1 - fx) * feat[0, y0, x0]
+                + (1 - fy) * fx * feat[0, y0, x1]
+                + fy * (1 - fx) * feat[0, y1, x0]
+                + fy * fx * feat[0, y1, x1])
+
+    want = np.stack([np.stack([bilin(y, x) for x in xs]) for y in ys])
+    np.testing.assert_allclose(got[0], want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got[1], want, rtol=1e-5, atol=1e-5)
+
+    # constant x-offset of 2 px (normalized 2 * 2/(w-1)): sampled column
+    # coords shift by exactly 2
+    offs2 = offs.copy()
+    offs2[..., 1] = 2.0 * 2.0 / (w - 1)
+    got2 = np.asarray(dense_grid_sample(jnp.asarray(feat),
+                                        jnp.asarray(offs2),
+                                        jnp.zeros((2,), np.int32)))
+    want2 = np.stack([np.stack([bilin(y, min(x + 2, w - 1)) for x in xs])
+                      for y in ys])
+    np.testing.assert_allclose(got2[0], want2, rtol=1e-5, atol=1e-5)

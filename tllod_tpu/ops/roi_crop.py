@@ -51,6 +51,37 @@ def affine_grid_points(rois: jnp.ndarray, feat_h: int, feat_w: int,
     return ys, xs
 
 
+def dense_grid_sample(feats: jnp.ndarray, offsets: jnp.ndarray,
+                      batch_idx: jnp.ndarray) -> jnp.ndarray:
+    """Dense (per-pixel) grid sampler — the ``DenseAffineGridGen`` path of
+    ``lib/model/roi_crop/modules/gridgen.py:108-140``: the network predicts
+    a per-output-pixel OFFSET field that is added to the identity grid in
+    normalized [-1, 1] coords, then bilinearly sampled (grid_sample
+    align_corners=True, matching the affine path above).
+
+    Note the variant zoo in ``gridgen.py`` (Cylinder/Depth/Elastic/...) is
+    DEAD CODE in the reference — nothing outside the module imports it and
+    every shipped cfg uses ``POOLING_MODE: align``; only the dense-affine
+    semantics generalize the crop op, so only they are ported
+    (COMPONENTS.md records the exclusion evidence).
+
+    feats: (B, H, W, C) NHWC; offsets: (R, G, G, 2) normalized (dy, dx)
+    offsets added to the identity grid; batch_idx: (R,) int32.
+    Returns (R, G, G, C).
+    """
+    b, h, w, c = feats.shape
+    r, gh, gw, _ = offsets.shape
+    lin_y = jnp.linspace(-1.0, 1.0, gh)
+    lin_x = jnp.linspace(-1.0, 1.0, gw)
+    gy, gx = jnp.meshgrid(lin_y, lin_x, indexing="ij")   # (G, G)
+    ny = gy[None] + offsets[..., 0]
+    nx = gx[None] + offsets[..., 1]
+    ys = jnp.clip((ny + 1.0) * 0.5 * (h - 1), 0.0, h - 1.0).reshape(r, -1)
+    xs = jnp.clip((nx + 1.0) * 0.5 * (w - 1), 0.0, w - 1.0).reshape(r, -1)
+    out = _bilinear_gather(feats, batch_idx.astype(jnp.int32), ys, xs)
+    return out.reshape(r, gh, gw, c)
+
+
 def roi_crop(feats: jnp.ndarray, rois: jnp.ndarray, *, grid_size: int,
              max_pool: bool = True) -> jnp.ndarray:
     """feats (B, H, W, C) NHWC; rois (R, 5). Samples a grid_size² bilinear
