@@ -52,6 +52,36 @@ def run_detection(model: FasterRCNN, params, dataset, roidb, cfg: Config, *,
     devices. The reference has no multi-GPU eval (``*_test.py`` are
     single-stream); this is the TPU-native scale-out for it.
     """
+    if jax.process_count() > 1:
+        # Multi-host eval (no reference counterpart — its *_test.py are
+        # single-stream): each process detects a strided roidb slice on its
+        # OWN addressable devices, then the pickled detections ride a
+        # process_allgather so every process holds the global all_boxes
+        # (tllod_tpu/parallel/multihost.py).
+        from tllod_tpu.parallel.multihost import (allgather_bytes,
+                                                  merge_detections,
+                                                  pack_detections,
+                                                  shard_roidb)
+
+        pid, pcount = jax.process_index(), jax.process_count()
+        local_roidb, local_idx = shard_roidb(roidb, pid, pcount)
+        local_mesh = None
+        if mesh is not None and len(jax.local_devices()) > 1:
+            from jax.sharding import Mesh
+            local_mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
+        print(f"multi-host eval: process {pid}/{pcount} takes "
+              f"{len(local_roidb)}/{len(roidb)} images on "
+              f"{len(jax.local_devices())} local devices")
+        local_boxes = run_detection(
+            model, params, dataset, local_roidb, cfg,
+            max_per_image=max_per_image, score_thresh=score_thresh,
+            class_agnostic=class_agnostic, verbose_every=verbose_every,
+            vis=vis, vis_dir=vis_dir, vis_thresh=vis_thresh,
+            mesh=local_mesh, eval_batch=eval_batch)
+        parts = allgather_bytes(pack_detections(
+            local_idx, local_boxes, dataset.num_classes))
+        return merge_detections(parts, dataset.num_classes, len(roidb))
+
     sharded = mesh is not None and mesh.size > 1
     chunk = max(1, eval_batch) * (mesh.size if sharded else 1)
 
@@ -65,15 +95,9 @@ def run_detection(model: FasterRCNN, params, dataset, roidb, cfg: Config, *,
     if sharded:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        if jax.process_count() > 1:
-            # Single-host only: indices here are global while fetch()
-            # gathers only addressable shards, and device_put of host numpy
-            # onto a mesh with non-addressable devices fails. Multi-host
-            # eval would need per-process roidb slicing (not implemented —
-            # the reference has no multi-host story to match either).
-            raise NotImplementedError(
-                "--shard_eval supports a single JAX process; run eval on "
-                "one host or drop --shard_eval under jax.distributed.")
+        # Single-process from here on: multi-process runs were dispatched
+        # to per-process local meshes above, so every device in `mesh` is
+        # addressable and host numpy device_puts are legal.
         axis = mesh.axis_names[0]
         batch_sharding = NamedSharding(mesh, P(axis))
         params = jax.device_put(params, NamedSharding(mesh, P()))
