@@ -7,13 +7,19 @@ recipe's shapes (shortest side 600, Cityscapes aspect ratio → 600×1200,
 batch 1 source + 1 target per step, counting both domain images like the
 reference hot loop processes them).
 
+One run measures BOTH precisions (ADVICE r3): bf16 mixed precision (the
+idiomatic TPU configuration, headline metric) and full-f32 (the reference's
+precision, reported under the historical unsuffixed metric name
+``daf_vgg16_train_images_per_sec_per_chip`` so the r01/r02 series stays
+comparable).
+
 Baseline: the reference (torch-0.4 + CUDA kernels, V100) has no published
 throughput (SURVEY §6); per BASELINE.md the speed target is ≥2×
 images/sec/chip vs that stack. We take 8.0 images/sec (≈4 DAF steps/sec × 2
 images) as the assumed V100 reference throughput for ``vs_baseline``;
 vs_baseline ≥ 2.0 meets the north-star target.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -26,7 +32,7 @@ ASSUMED_BASELINE_IMAGES_PER_SEC = 8.0
 
 def main():
     import jax
-    import numpy as np
+    import jax.numpy as jnp
 
     # Persistent compile cache: the eval program's first XLA:TPU compile is
     # minutes-long; caching makes repeat bench runs (and the driver's
@@ -53,103 +59,106 @@ def main():
 
     import argparse
     ap = argparse.ArgumentParser()
-    # bf16 mixed precision (bfloat16 backbone/head compute, f32 losses +
-    # optimizer) is the idiomatic TPU training configuration and the bench
-    # default — it trains in the right direction (tests/test_learning.py::
-    # test_daf_learns_bf16) and every train CLI exposes it as --bf16.
-    ap.add_argument("--bf16", action="store_true", default=True)
-    ap.add_argument("--f32", dest="bf16", action="store_false",
-                    help="full-f32 compute (the reference's precision)")
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--skip_f32", action="store_true",
+                    help="measure only the bf16 headline (dev iterations)")
     ap.add_argument("--hw", type=int, nargs=2, default=(600, 1200),
                     help="debug override of the image shape (CPU smoke runs)")
     bench_args, _ = ap.parse_known_args()
 
     (h, w), b = bench_args.hw, 1
-    import jax.numpy as jnp
-    model = DAFModel(num_classes=9, cfg=cfg, net="vgg16",
-                     dtype=(jnp.bfloat16 if bench_args.bf16
-                            else jnp.float32))
-    # realistic Cityscapes GT density (~15 objects/image, VERDICT r1 item 8)
-    src = _make_batch(b, h, w, domain=1, seed=0, n_boxes=15, max_gt=50)
-    tgt = _make_batch(b, h, w, domain=0, seed=1, n_boxes=15, max_gt=50)
+    n_steps = bench_args.steps
 
+    # realistic Cityscapes GT density (~15 objects/image, VERDICT r1 item 8)
+    src = jax.device_put(_make_batch(b, h, w, domain=1, seed=0,
+                                     n_boxes=15, max_gt=50))
+    tgt = jax.device_put(_make_batch(b, h, w, domain=0, seed=1,
+                                     n_boxes=15, max_gt=50))
     # Init at small spatial size — params are image-size independent, and a
     # full-size init costs ~6 min of extra compile on the TPU host.
     src_small = _make_batch(b, 128, 256, domain=1, seed=0)
     tgt_small = _make_batch(b, 128, 256, domain=0, seed=1)
-    params = model.init(
-        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
-         "dropout": jax.random.PRNGKey(2)}, src_small, tgt_small,
-        training=True)["params"]
-    tx = make_sgd(0.002, clip_norm=10.0)
-    state = create_train_state(params, tx)
-
-    def apply_fn(p, rngs, src, tgt):
-        return model.apply({"params": p}, src, tgt, training=True, rngs=rngs)
-
-    step = make_train_step(apply_fn, daf_loss, tx)
     rng = jax.random.PRNGKey(3)
-    src = jax.device_put(src)
-    tgt = jax.device_put(tgt)
 
-    # warmup / compile (fetch the loss to force real execution — the axon
-    # TPU transport is async and block_until_ready alone does not flush)
-    for _ in range(3):
-        state, metrics = step(state, rng, src, tgt)
+    def measure_train(bf16: bool):
+        """(per-step img/s, fused-8 img/s, best step ms, flops, state)."""
+        model = DAFModel(num_classes=9, cfg=cfg, net="vgg16",
+                         dtype=(jnp.bfloat16 if bf16 else jnp.float32))
+        params = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "sampling": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2)}, src_small, tgt_small,
+            training=True)["params"]
+        tx = make_sgd(0.002, clip_norm=10.0)
+        state = create_train_state(params, tx)
+
+        def apply_fn(p, rngs, src, tgt):
+            return model.apply({"params": p}, src, tgt, training=True,
+                               rngs=rngs)
+
+        step = make_train_step(apply_fn, daf_loss, tx)
+
+        # warmup / compile (fetch the loss to force real execution — the
+        # axon TPU transport is async; block_until_ready alone won't flush)
+        for _ in range(3):
+            state, metrics = step(state, rng, src, tgt)
+            float(metrics["loss"])
+
+        # Steady state: dispatch the whole chain, then fetch ONE scalar —
+        # each step depends on the previous step's params, so the final loss
+        # fetch forces every step; the ~27 ms tunnel RPC amortizes across
+        # the run (as it would in a real training loop).
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, metrics = step(state, rng, src, tgt)
         float(metrics["loss"])
+        dt = time.perf_counter() - t0
+        ips = n_steps * 2 * b / dt  # source + target per step
+        step_ms = dt / n_steps * 1000.0
 
-    # Steady state: dispatch the whole chain, then fetch ONE scalar — each
-    # step depends on the previous step's params, so the final loss fetch
-    # forces every step; the ~27 ms tunnel RPC amortizes across the run
-    # (it would amortize identically in a real training loop).
-    n_steps = bench_args.steps
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = step(state, rng, src, tgt)
-    float(metrics["loss"])
-    dt = time.perf_counter() - t0
+        # fused-dispatch trainer (--fuse_steps K in every train CLI):
+        # lax.scan K steps inside one dispatch, amortizing the per-dispatch
+        # host+tunnel cost. Same trajectory as the per-step loop
+        # (tests/test_fused_steps.py).
+        from tllod_tpu.train import make_train_step_multi
 
-    images_per_sec = n_steps * 2 * b / dt  # source + target per step
-    step_ms = dt / n_steps * 1000.0
+        K = 8
+        mstep = make_train_step_multi(apply_fn, daf_loss, tx)
+        stackK = lambda batch: {k: jnp.broadcast_to(v, (K,) + v.shape)
+                                for k, v in batch.items()}  # noqa: E731
+        srcK, tgtK = stackK(src), stackK(tgt)
+        state, m = mstep(state, rng, srcK, tgtK)     # warmup/compile
+        float(m["loss"][-1])
+        n_disp = max(2, n_steps // K)
+        t0 = time.perf_counter()
+        for _ in range(n_disp):
+            state, m = mstep(state, rng, srcK, tgtK)
+        float(m["loss"][-1])
+        dtf = time.perf_counter() - t0
+        fused_ips = n_disp * K * 2 * b / dtf
+        fused_step_ms = dtf / (n_disp * K) * 1000.0
 
-    # ---- fused-dispatch trainer (--fuse_steps K in every train CLI):
-    # lax.scan K steps inside one dispatch, amortizing the per-dispatch
-    # host+tunnel cost. Same trajectory as the per-step loop
-    # (tests/test_fused_steps.py). Whichever configuration is faster is
-    # the headline — both raw numbers are reported.
-    from tllod_tpu.train import make_train_step_multi
+        # MFU: XLA-counted FLOPs of the whole compiled train step over the
+        # chip's bf16 MXU peak (197 TFLOP/s on v5e/v5-lite).
+        flops = None
+        try:
+            ca = step.lower(state, rng, src, tgt).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            pass
+        return ips, fused_ips, min(step_ms, fused_step_ms), flops, state
 
-    K = 8
-    mstep = make_train_step_multi(apply_fn, daf_loss, tx)
-    stackK = lambda batch: {k: jnp.broadcast_to(v, (K,) + v.shape)
-                            for k, v in batch.items()}  # noqa: E731
-    srcK, tgtK = stackK(src), stackK(tgt)
-    state, m = mstep(state, rng, srcK, tgtK)     # warmup/compile
-    float(m["loss"][-1])
-    n_disp = max(2, n_steps // K)
-    t0 = time.perf_counter()
-    for _ in range(n_disp):
-        state, m = mstep(state, rng, srcK, tgtK)
-    float(m["loss"][-1])
-    dtf = time.perf_counter() - t0
-    fused_ips = n_disp * K * 2 * b / dtf
-    fused_step_ms = dtf / (n_disp * K) * 1000.0
-
-    # ---- MFU: XLA-counted FLOPs of the whole compiled train step over the
-    # chip's bf16 MXU peak (197 TFLOP/s on v5e/v5-lite). f32 runs are held
-    # to the same denominator, so their MFU reads low by design — the
-    # number answers "how far from the hardware ceiling is this step".
-    flops = None
-    try:
-        ca = step.lower(state, rng, src, tgt).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        pass
+    bf16_ips, bf16_fused, bf16_ms, flops, state = measure_train(True)
+    best_ips = max(bf16_ips, bf16_fused)
     peak = 197e12
-    mfu = (flops / (step_ms / 1000.0)) / peak if flops else None
+    mfu = (flops / (bf16_ms / 1000.0)) / peak if flops else None
+
+    f32_best = f32_ms = None
+    if not bench_args.skip_f32:
+        f32_ips, f32_fused, f32_ms, _, _ = measure_train(False)
+        f32_best = max(f32_ips, f32_fused)
 
     # ---- eval throughput (VERDICT r2 item 8): the vanilla-detector
     # inference + postprocess program the test CLIs run per image
@@ -157,9 +166,7 @@ def main():
     from tllod_tpu.models.faster_rcnn import FasterRCNN
     from tllod_tpu.train import postprocess_detections_batch
 
-    det = FasterRCNN(num_classes=9, cfg=cfg, net="vgg16",
-                     dtype=(jnp.bfloat16 if bench_args.bf16
-                            else jnp.float32))
+    det = FasterRCNN(num_classes=9, cfg=cfg, net="vgg16", dtype=jnp.bfloat16)
     # state.params, not the init-time params — the train loop donates its
     # argument buffers, so the originals are deleted after step 1
     det_params = state.params["detector"]
@@ -190,24 +197,25 @@ def main():
     float(chain)
     eval_ips = n_steps * b / (time.perf_counter() - t0)
 
-    best_ips = max(images_per_sec, fused_ips)
     out = {
-        "metric": "daf_vgg16_train_images_per_sec_per_chip"
-                  + ("_bf16" if bench_args.bf16 else "_f32"),
+        "metric": "daf_vgg16_train_images_per_sec_per_chip_bf16",
         "value": round(best_ips, 3),
         "unit": (f"images/sec/chip ({h}x{w}, bs1 src + bs1 tgt, 15 gt/img, "
-                 + ("bf16 mixed precision" if bench_args.bf16
-                    else "f32") + ")"),
+                 "bf16 mixed precision)"),
         "vs_baseline": round(best_ips / ASSUMED_BASELINE_IMAGES_PER_SEC, 3),
         "baseline": "assumed 8.0 img/s (V100 torch-0.4; no published "
                     "reference throughput — see BASELINE.md)",
         "train_config": ("--fuse_steps 8"
-                         if fused_ips > images_per_sec else "per-step"),
-        "per_step_dispatch_images_per_sec": round(images_per_sec, 3),
-        "fused8_images_per_sec": round(fused_ips, 3),
-        "train_step_ms": round(min(step_ms, fused_step_ms), 2),
+                         if bf16_fused > bf16_ips else "per-step"),
+        "per_step_dispatch_images_per_sec": round(bf16_ips, 3),
+        "fused8_images_per_sec": round(bf16_fused, 3),
+        "train_step_ms": round(bf16_ms, 2),
         "eval_images_per_sec_per_chip": round(eval_ips, 3),
     }
+    if f32_best is not None:
+        # historical unsuffixed series (BENCH_r01/r02 measured f32)
+        out["daf_vgg16_train_images_per_sec_per_chip"] = round(f32_best, 3)
+        out["f32_train_step_ms"] = round(f32_ms, 2)
     if flops:
         out["train_step_tflops"] = round(flops / 1e12, 3)
         out["mfu_vs_bf16_peak"] = round(mfu, 4)

@@ -195,3 +195,41 @@ def test_batch2_pt_maf_kd():
     labels = jnp.asarray(rng.randint(0, 3, size=(16,)))
     loss = pt_maf_kd_loss(s_rpn, t_rpn, s_cls, t_cls, labels, mask)
     assert loss.shape == () and np.isfinite(float(loss))
+
+
+def test_us_daf_bce_margin_saturation_safe():
+    """TPU regression (round-3 us_daf_res101 NaN): XLA's logistic
+    approximation can return probabilities an ulp OUTSIDE [0, 1] when
+    saturated; bce_margin_loss must stay finite there (the reference's bare
+    +1e-10 feeds log a negative argument). Also pins the margin semantics:
+    a confidently-classified domain column (BCE <= 0.5) contributes 0."""
+    import jax.numpy as jnp
+
+    from tllod_tpu.methods.us_daf import bce_margin_loss, scale_labels
+
+    # simulated ulp excursions outside [0, 1] in every column
+    probs = jnp.array([[1.0 + 1e-7, 1.0 + 1e-7, -1e-8, 0.5],
+                       [-1e-8, 0.5, 1.0, 0.0]], jnp.float32)
+    labels = jnp.array([[0.0, 1.0, 0.0, 1.0],
+                        [1.0, 0.0, 1.0, 0.0]], jnp.float32)
+    loss = bce_margin_loss(probs, labels)
+    assert bool(jnp.isfinite(loss)), loss
+
+    # margin filter: domain prob 0.9 vs label 1 -> BCE ~0.105 < 0.5 ->
+    # domain column zeroed; scale columns (cols 1-3) always count
+    p = jnp.array([[0.9, 0.5, 0.5, 0.5]], jnp.float32)
+    l = jnp.array([[1.0, 1.0, 0.0, 1.0]], jnp.float32)
+    got = float(bce_margin_loss(p, l))
+    want = 3 * (-jnp.log(0.5)) / 4   # domain column dropped, mean over 4
+    assert abs(got - float(want)) < 1e-5, (got, float(want))
+
+    # gradient stays finite through the clip boundary
+    g = jax.grad(lambda x: bce_margin_loss(x, labels))(probs)
+    assert bool(jnp.isfinite(g).all())
+
+    # scale buckets: <=400 small, (400, 1e4) middle, >=1e4 large
+    rois = jnp.array([[0, 0, 0, 10, 10],      # 100 px^2 -> small
+                      [0, 0, 0, 50, 50],      # 2500 -> middle
+                      [0, 0, 0, 200, 200]], jnp.float32)  # 4e4 -> large
+    lab = scale_labels(rois)
+    assert lab.tolist() == [[1, 0, 0], [0, 1, 0], [0, 0, 1]]

@@ -90,8 +90,17 @@ def bce_margin_loss(probs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Margin-filtered multi-label BCE (``BCEloss_margin``,
     ``lib/US_DAF/faster_rcnn.py:25-33``): the domain column (0) is zeroed
     unless its own BCE exceeds 0.5; scale columns always count; mean over
-    all R×4 entries."""
+    all R×4 entries.
+
+    The clip is load-bearing on TPU: XLA's logistic approximation can exit
+    [0, 1] by ~1 ulp when saturated, and the reference's bare ``+1e-10``
+    then feeds ``log`` a NEGATIVE argument → NaN in both instance terms
+    from step 1 (the round-3 ``us_daf_res101`` failure; CPU's exactly-
+    bounded libm sigmoid masks it). Values in the unsaturated regime are
+    unchanged.
+    """
     eps = 1e-10
+    probs = jnp.clip(probs, 1e-7, 1.0 - 1e-7)
     bce = -(labels * jnp.log(probs + eps)
             + (1.0 - labels) * jnp.log(1.0 - probs + eps))
     domain_w = (bce[:, 0] > 0.5).astype(jnp.float32)[:, None]
