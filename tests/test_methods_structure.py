@@ -233,3 +233,32 @@ def test_us_daf_bce_margin_saturation_safe():
                       [0, 0, 0, 200, 200]], jnp.float32)  # 4e4 -> large
     lab = scale_labels(rois)
     assert lab.tolist() == [[1, 0, 0], [0, 1, 0], [0, 0, 1]]
+
+
+def test_daf_fused_pair_parity():
+    """The batched [src; tgt] conv pass (``DAFModel.fuse_pair``) must produce
+    the same losses as two separate backbone passes — it IS exactly two
+    passes, since every backbone op (conv/relu/pool/frozen-BN) is per-image;
+    only XLA's batch tiling differs."""
+    import jax.numpy as jnp
+
+    cfg = ge._tiny_cfg(post_train=16, post_test=8, pre=64, roi_batch=8)
+    src = ge._make_batch(1, 96, 128, domain=1, seed=0)
+    tgt = ge._make_batch(1, 96, 128, domain=0, seed=1)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    fused = DAFModel(num_classes=9, cfg=cfg, net="vgg16_thin")
+    split = DAFModel(num_classes=9, cfg=cfg, net="vgg16_thin",
+                     fuse_pair=False)
+    variables = fused.init(rngs, src, tgt, training=True)
+    keys = ("rpn_loss_cls", "rpn_loss_box", "rcnn_loss_cls", "rcnn_loss_box",
+            "da_img_loss", "da_ins_loss", "da_cst_loss",
+            "tgt_da_img_loss", "tgt_da_ins_loss", "tgt_da_cst_loss")
+    outs = []
+    for model in (fused, split):
+        out = model.apply(variables, src, tgt, training=True,
+                          rngs={"sampling": jax.random.PRNGKey(7),
+                                "dropout": jax.random.PRNGKey(8)})
+        outs.append(np.array([float(out[k]) for k in keys]))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=1e-5)

@@ -73,3 +73,24 @@ def instance_da_loss(probs: jnp.ndarray, domain: jnp.ndarray,
     labels = jnp.repeat(domain.astype(jnp.float32), rois_per_image)[:, None]
     return binary_cross_entropy(probs, labels)
 
+
+
+def features_pair(det, src_im, tgt_im, *, return_taps: bool = False,
+                  fuse: bool = True):
+    """Backbone features for a (source, target) image pair.
+
+    When ``fuse`` and the bucket shapes match, runs ONE batched conv pass
+    over ``[src; tgt]`` and splits — exactly equivalent to two passes (every
+    backbone op — conv/relu/pool/frozen-BN — is per-image; only XLA's batch
+    tiling differs, measured ~4% faster on a v5e at 600×1200), parity-pinned
+    by ``tests/test_methods_structure.py::test_daf_fused_pair_parity``.
+    Distinct buckets fall back to two passes at trace time.
+    """
+    if fuse and src_im.shape == tgt_im.shape:
+        b = src_im.shape[0]
+        both = det.features(jnp.concatenate([src_im, tgt_im], axis=0),
+                            return_taps=return_taps)
+        return (jax.tree_util.tree_map(lambda x: x[:b], both),
+                jax.tree_util.tree_map(lambda x: x[b:], both))
+    return (det.features(src_im, return_taps=return_taps),
+            det.features(tgt_im, return_taps=return_taps))

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tllod_tpu.config import Config
-from tllod_tpu.methods.da_modules import (ImageDA, InstanceDA, image_da_loss,
+from tllod_tpu.methods.da_modules import (ImageDA, InstanceDA,
+                                          features_pair, image_da_loss,
                                           instance_da_loss)
 from tllod_tpu.models.faster_rcnn import FasterRCNN
 
@@ -39,6 +40,9 @@ class DAFModel(nn.Module):
     class_agnostic: bool = False
     grl_alpha: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    # One batched conv pass over [src; tgt] when bucket shapes match (exact:
+    # every backbone op is per-image). False forces two passes (parity test).
+    fuse_pair: bool = True
 
     def setup(self):
         self.detector = FasterRCNN(
@@ -73,9 +77,12 @@ class DAFModel(nn.Module):
         cfg = self.cfg
         deterministic = not training
 
+        s_feat, t_feat = features_pair(det, src["im_data"], tgt["im_data"],
+                                       fuse=self.fuse_pair)
+
         # ---- source: full supervised path ----
-        out = det(src["im_data"], src["im_info"], src["gt_boxes"],
-                  training=training)
+        out = det.forward_from_features(
+            s_feat, src["im_info"], src["gt_boxes"], training=training)
         s_rois_per_img = out["rois"].shape[1]
         img_l, ins_l, cst_l = self._domain_terms(
             out["base_feat"], out["pooled_feat"], src["domain"],
@@ -83,7 +90,6 @@ class DAFModel(nn.Module):
             deterministic=deterministic)
 
         # ---- target: unsupervised path, RPN under TEST config ----
-        t_feat = det.features(tgt["im_data"])
         t_out = det.forward_from_features(
             t_feat, tgt["im_info"], tgt["gt_boxes"],
             training=training, supervised=False)

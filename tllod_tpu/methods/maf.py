@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tllod_tpu.config import Config
-from tllod_tpu.methods.da_modules import image_da_loss
+from tllod_tpu.methods.da_modules import features_pair, image_da_loss
 from tllod_tpu.models.faster_rcnn import FasterRCNN
 from tllod_tpu.models.rpn import proposal_target
 from tllod_tpu.ops.grl import grad_reverse, weighted_grad_reverse
@@ -157,8 +157,10 @@ class MAFModel(nn.Module):
                  training: bool = True) -> Dict[str, Any]:
         det = self.detector
 
-        # source: supervised path with pyramid taps
-        s_taps = det.features(src["im_data"], return_taps=True)
+        # source: supervised path with pyramid taps (one batched conv pass
+        # over [src; tgt] when bucket shapes match — see features_pair)
+        s_taps, t_taps = features_pair(det, src["im_data"], tgt["im_data"],
+                                       return_taps=True)
         out = det.forward_from_features(
             s_taps[-1], src["im_info"], src["gt_boxes"],
             training=training, supervised=training)
@@ -168,7 +170,6 @@ class MAFModel(nn.Module):
                 -1, self.num_classes), src["domain"])
 
         # target: unsupervised (RPN under TEST config)
-        t_taps = det.features(tgt["im_data"], return_taps=True)
         t_out = det.forward_from_features(
             t_taps[-1], tgt["im_info"], tgt["gt_boxes"],
             training=training, supervised=False)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tllod_tpu.config import Config
+from tllod_tpu.methods.da_modules import features_pair
 from tllod_tpu.methods.maf import (ImageDADRM, ImageDAPlain,
                                    InstanceDAWeighted)
 from tllod_tpu.models.faster_rcnn import FasterRCNN
@@ -130,7 +131,9 @@ class PTMAFModel(nn.Module):
         det = self.detector
         weights = (1.0, 1.0, 1.0)
 
-        s_taps = det.features(src["im_data"], return_taps=True)
+        # one batched conv pass over [src; tgt] when bucket shapes match
+        s_taps, t_taps = features_pair(det, src["im_data"], tgt["im_data"],
+                                       return_taps=True)
         out = det.forward_from_features(
             s_taps[-1], src["im_info"], src["gt_boxes"],
             training=training, supervised=training)
@@ -140,7 +143,6 @@ class PTMAFModel(nn.Module):
             out["pooled_feat"],
             out["cls_prob"].reshape(-1, self.num_classes), src["domain"])
 
-        t_taps = det.features(tgt["im_data"], return_taps=True)
         t_out = det.forward_from_features(
             t_taps[-1], tgt["im_info"], tgt["gt_boxes"],
             training=training, supervised=False)

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tllod_tpu.config import Config
+from tllod_tpu.methods.da_modules import features_pair
 from tllod_tpu.models.faster_rcnn import FasterRCNN
 from tllod_tpu.ops.grl import grad_reverse
 
@@ -118,6 +119,9 @@ class USDAFModel(nn.Module):
     class_agnostic: bool = False
     grl_alpha: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    # One batched conv pass over [src; tgt] when bucket shapes match (exact:
+    # every backbone op is per-image; see DAFModel.fuse_pair).
+    fuse_pair: bool = True
 
     def setup(self):
         self.detector = FasterRCNN(
@@ -150,12 +154,13 @@ class USDAFModel(nn.Module):
         det = self.detector
         deterministic = not training
 
-        out = det(src["im_data"], src["im_info"], src["gt_boxes"],
-                  training=training)
+        s_feat, t_feat = features_pair(det, src["im_data"], tgt["im_data"],
+                                       fuse=self.fuse_pair)
+
+        out = det.forward_from_features(
+            s_feat, src["im_info"], src["gt_boxes"], training=training)
         img_l, ins_l = self._terms(out["base_feat"], out["pooled_feat"],
                                    out["rois"], 1.0, deterministic)
-
-        t_feat = det.features(tgt["im_data"])
         t_out = det.forward_from_features(
             t_feat, tgt["im_info"], tgt["gt_boxes"],
             training=training, supervised=False)

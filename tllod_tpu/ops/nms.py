@@ -8,15 +8,27 @@ live inside one jitted train step with no device→host→device round trip.
 Algorithm (exact greedy NMS, same selections as the reference):
   1. sort boxes by score descending (padded/invalid slots sort last);
   2. sweep over fixed-size blocks of the sorted list with ``lax.while_loop``;
-     for each block, compute its IoU against *all* boxes once (a (T, N)
-     matrix — bandwidth-friendly, MXU-free VPU work);
-  3. suppress block boxes that overlap an already-kept earlier box, then
-     resolve the sequential within-block dependency by the "definite keeper"
-     fixpoint iteration (a box whose column has no live suppressor is
-     definitely kept; rows of boxes it suppresses are zeroed; repeat until
-     stable — the same trick TF's TPU ``non_max_suppression_padded`` uses,
-     provably equal to sequential greedy);
+     for each block, compute its IoU against the *kept-box buffer* — a
+     compact (max_output, 4) array of the boxes kept by earlier blocks —
+     instead of against all N boxes. Only earlier KEPT boxes can suppress,
+     and at most ``max_output`` of them exist before the sweep early-exits,
+     so a (T, max_output) IoU matrix carries the same information as the
+     naive (T, N) one at a fraction of the VPU work (6× less for the
+     train proposal shape 12000→2000, 20× for the test shape 6000→300);
+  3. resolve the sequential within-block dependency by the "definite keeper"
+     fixpoint iteration over the (T, T) within-block IoU (a box whose column
+     has no live suppressor is definitely kept; rows of boxes it suppresses
+     are zeroed; repeat until stable — the same trick TF's TPU
+     ``non_max_suppression_padded`` uses, provably equal to sequential
+     greedy), then append the block's keepers to the buffer;
   4. early-exit the block sweep once ``max_output`` boxes are kept.
+     (A block may overshoot ``max_output``; overshoot keepers fall off the
+     buffer, which is exact because the sweep stops before any later block
+     could need them, and the final compaction trims to ``max_output``.)
+
+When everything fits in ONE block (n ≤ block_size — the per-class NMS of
+the eval postprocess) the while_loop machinery is skipped entirely: one
+(T, T) IoU + one fixpoint.
 
 IoU uses the legacy "+1" box convention to match ``devIoU``
 (``nms_cuda_kernel.cu:31-39``); suppression is strict ``iou > thresh``
@@ -120,38 +132,56 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, *,
         axis=0)
     valid = scores_s > _NEG_INF
 
-    col_ids = jnp.arange(n_pad)
+    rows = jnp.arange(t_sz)
+    tri = rows[:, None] < rows[None, :]                  # s strictly above t
 
-    def cond(state):
-        _, bi, kept_count = state
-        return (bi < num_blocks) & (kept_count < max_output)
+    def block_keep(blk_boxes, cand):
+        """Greedy keep decisions within one block given candidates."""
+        blk_iou = _pairwise_iou(blk_boxes, blk_boxes)    # (T, T)
+        over_blk = ((blk_iou > iou_threshold) & tri
+                    & cand[:, None] & cand[None, :])
+        return _self_suppress(over_blk, cand)
 
-    def body(state):
-        keep, bi, _ = state
-        start = bi * t_sz
-        blk_boxes = jax.lax.dynamic_slice(boxes_s, (start, 0), (t_sz, 4))
-        blk_valid = jax.lax.dynamic_slice(valid, (start,), (t_sz,))
-        iou = _pairwise_iou(blk_boxes, boxes_s)          # (T, n_pad)
-        over_all = iou > iou_threshold
+    if num_blocks == 1:
+        # everything in one block: no sweep state, no kept buffer
+        keep = block_keep(boxes_s, valid)
+    else:
+        # kept-box buffer, lane-aligned; rows ≥ kept_count are dead
+        kb_sz = max(((max_output + 127) // 128) * 128, 128)
+        kb_ids = jnp.arange(kb_sz)
 
-        # Suppression by kept boxes from earlier blocks.
-        earlier = col_ids < start
-        sup_prev = jnp.any(over_all & (keep & earlier)[None, :], axis=1)
-        cand = blk_valid & ~sup_prev
+        def cond(state):
+            _, _, bi, kept_count = state
+            return (bi < num_blocks) & (kept_count < max_output)
 
-        # Within-block sequential dependency.
-        blk_iou = jax.lax.dynamic_slice(iou, (0, start), (t_sz, t_sz))
-        rows = jnp.arange(t_sz)
-        tri = rows[:, None] < rows[None, :]              # s strictly above t
-        over_blk = (blk_iou > iou_threshold) & tri & cand[:, None] & cand[None, :]
-        blk_keep = _self_suppress(over_blk, cand)
+        def body(state):
+            keep, kbuf, bi, kept_count = state
+            start = bi * t_sz
+            blk_boxes = jax.lax.dynamic_slice(boxes_s, (start, 0), (t_sz, 4))
+            blk_valid = jax.lax.dynamic_slice(valid, (start,), (t_sz,))
 
-        new_keep = jax.lax.dynamic_update_slice(keep, blk_keep, (start,))
-        return new_keep, bi + 1, jnp.sum(new_keep.astype(jnp.int32))
+            # Suppression by kept boxes from earlier blocks (the buffer).
+            iou_prev = _pairwise_iou(blk_boxes, kbuf)    # (T, kb_sz)
+            live = kb_ids < kept_count
+            sup_prev = jnp.any((iou_prev > iou_threshold) & live[None, :],
+                               axis=1)
+            cand = blk_valid & ~sup_prev
 
-    keep0 = jnp.zeros((n_pad,), jnp.bool_)
-    keep, _, _ = jax.lax.while_loop(cond, body,
-                                    (keep0, jnp.int32(0), jnp.int32(0)))
+            blk_keep = block_keep(blk_boxes, cand)
+
+            # Append this block's keepers to the buffer in score order.
+            rank = kept_count + jnp.cumsum(blk_keep.astype(jnp.int32)) - 1
+            write_to = jnp.where(blk_keep & (rank < kb_sz), rank, kb_sz)
+            new_kbuf = kbuf.at[write_to].set(blk_boxes, mode="drop")
+
+            new_keep = jax.lax.dynamic_update_slice(keep, blk_keep, (start,))
+            new_count = kept_count + jnp.sum(blk_keep.astype(jnp.int32))
+            return new_keep, new_kbuf, bi + 1, new_count
+
+        keep0 = jnp.zeros((n_pad,), jnp.bool_)
+        kbuf0 = jnp.zeros((kb_sz, 4), boxes.dtype)
+        keep, _, _, _ = jax.lax.while_loop(
+            cond, body, (keep0, kbuf0, jnp.int32(0), jnp.int32(0)))
 
     # Compact: first max_output kept positions, in score order.
     rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
