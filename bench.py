@@ -180,27 +180,34 @@ def main():
             out["rois"], out["cls_prob"], out["bbox_pred"], im_info,
             num_classes=9, stds=stds, means=means,
             nms_thresh=cfg.TEST.NMS, max_dets=100)
-        # scalar chain hook: lets step i+1 depend on step i so the whole
-        # run dispatches before one forcing fetch (axon transport is async)
+        # cheap forcing handle: fetching this scalar of the LAST dispatch
+        # bounds the whole run (the device executes dispatches in order)
         return boxes, scores, valid, jnp.sum(scores) * 0.0
 
     def measure_eval(eval_b: int) -> float:
         """img/s of the fwd+postprocess program at batch ``eval_b`` (the
-        --eval_bs flag of every test CLI; bucket-grouped static shapes)."""
+        --eval_bs flag of every test CLI; bucket-grouped static shapes).
+
+        Dispatches are INDEPENDENT and pipelined, exactly like the real
+        double-buffered eval loop (eval_engine.py) — the device runs them
+        back-to-back in dispatch order, so fetching one scalar of the last
+        result times the whole run. (An earlier version chained step i's
+        output into step i+1's input via an eager add; that extra eager op
+        cost a host RPC per step on the tunnel transport and understated
+        eval throughput ~2.5x — 39 img/s measured vs 7.8+1.6 ms of actual
+        device time per image.)"""
         batch = _make_batch(eval_b, h, w, domain=1, seed=0,
                             n_boxes=15, max_gt=50)
         im, info, gtb = (jnp.asarray(batch["im_data"]),
                          jnp.asarray(batch["im_info"]),
                          jnp.asarray(batch["gt_boxes"]))
-        _, _, _, chain = infer(det_params, im, info, gtb)
-        float(chain)  # compile + flush
+        out = infer(det_params, im, info, gtb)
+        float(out[3])  # compile + flush
+        n_disp = max(8, n_steps // eval_b)
         t0 = time.perf_counter()
-        chain = jnp.float32(0.0)
-        n_disp = max(4, n_steps // eval_b)
         for _ in range(n_disp):
-            _, _, _, c = infer(det_params, im + chain, info, gtb)
-            chain = c
-        float(chain)
+            out = infer(det_params, im, info, gtb)
+        float(out[3])
         return n_disp * eval_b / (time.perf_counter() - t0)
 
     eval_ips = measure_eval(1)

@@ -55,8 +55,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--probe", default="backbone",
                     choices=["backbone", "detector", "daf", "rpnhead",
-                             "proposal", "anchortgt",
-                             "eval", "evalfwd", "evalpost"])
+                             "proposal", "anchortgt", "sgd", "tgtpass",
+                             "roialign", "eval", "evalfwd", "evalpost"])
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--hw", type=int, nargs=2, default=(600, 1200),
                     help="debug override of the probe image shape (CPU "
@@ -76,6 +76,17 @@ def main():
                     help="daf probe only: scan this many steps inside ONE "
                          "jitted dispatch (isolates per-dispatch host/tunnel "
                          "overhead from device step time)")
+    ap.add_argument("--block", type=int, default=0,
+                    help="proposal probe only: NMS block_size override "
+                         "(0 = the nms_fixed default)")
+    ap.add_argument("--no_update", action="store_true",
+                    help="daf probe ablation: value_and_grad only, no "
+                         "clip/momentum/SGD apply — isolates the optimizer "
+                         "cost by whole-program subtraction")
+    ap.add_argument("--no_tgt", action="store_true",
+                    help="daf probe ablation: zero out the six DA losses so "
+                         "XLA dead-code-eliminates the target branch "
+                         "(machinery + DA heads + its backbone bwd share)")
     args = ap.parse_args()
     if args.precision:
         # process-wide so EVERY probe honors it, not just the backbone one
@@ -157,11 +168,12 @@ def main():
 
             @jax.jit
             def step(fg, deltas):
+                kw = ({"nms_block_size": args.block} if args.block else {})
                 p = proposal_layer(
                     fg, deltas, im_info, anchors,
                     pre_nms_top_n=rcfg.RPN_PRE_NMS_TOP_N,
                     post_nms_top_n=rcfg.RPN_POST_NMS_TOP_N,
-                    nms_thresh=rcfg.RPN_NMS_THRESH)
+                    nms_thresh=rcfg.RPN_NMS_THRESH, **kw)
                 return p.rois
 
             ms = _timeit(step, args.steps, fg, deltas) * 1e3
@@ -227,6 +239,97 @@ def main():
             ms = _timeit(lambda p: step(p, rng, base, batch),
                          args.steps, params) * 1e3
         ips = 1e3 / ms * b
+    elif args.probe == "roialign":
+        # RoIAlign fwd+bwd alone at the train shape: 256 RoIs over the
+        # stride-16 VGG feature map of (h, w). Gradient wrt the feature map
+        # (the scatter-add bwd) is the expensive half.
+        from tllod_tpu.ops.roi_align import roi_align_avg
+        fh, fw = h // 16 + (h % 16 > 0), w // 16 + (w % 16 > 0)
+        feat = jnp.asarray(np.random.RandomState(0)
+                           .randn(b, fh, fw, 512).astype(np.float32), dtype)
+        r = np.random.RandomState(1)
+        n_rois = 256
+        x1 = r.rand(n_rois) * (w - 64)
+        y1 = r.rand(n_rois) * (h - 64)
+        rois = np.stack([np.zeros(n_rois), x1, y1,
+                         x1 + 16 + r.rand(n_rois) * 200,
+                         y1 + 16 + r.rand(n_rois) * 150], axis=1)
+        rois = jnp.asarray(rois.astype(np.float32))
+
+        @jax.jit
+        def step(feat):
+            def loss(f):
+                p = roi_align_avg(f, rois, out_size=7, spatial_scale=1 / 16.)
+                return jnp.sum(p.astype(jnp.float32) ** 2)
+            return jax.grad(loss)(feat)
+
+        ms = _timeit(step, args.steps, feat) * 1e3
+        ips = 1e3 / ms * b
+    elif args.probe == "sgd":
+        # Optimizer update alone on a DAF-sized (142M) tree: tx.update +
+        # apply_updates given precomputed grads. HBM-bound — the floor is
+        # ~5 tree-sized HBM passes (read g/m/p, write m/p) + the clip's
+        # extra grad read.
+        from tllod_tpu.methods.daf import DAFModel
+        from tllod_tpu.utils.optim import make_sgd
+        model = DAFModel(num_classes=9, cfg=cfg, net="vgg16", dtype=dtype)
+        rngs = {"params": jax.random.PRNGKey(0),
+                "sampling": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2)}
+        s0 = _make_batch(1, 128, 256, domain=1, seed=0)
+        t0_ = _make_batch(1, 128, 256, domain=0, seed=1)
+        params = model.init(rngs, s0, t0_, training=True)["params"]
+        tx = make_sgd(0.002, clip_norm=10.0)
+        opt_state = tx.init(params)
+        grads = jax.tree_util.tree_map(
+            lambda x: jnp.full_like(x, 1e-4), params)
+
+        @jax.jit
+        def step(params, opt_state, grads):
+            import optax as _optax
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return _optax.apply_updates(params, updates), opt_state
+
+        jax.block_until_ready((params, opt_state, grads))
+        ms = _timeit(lambda: step(params, opt_state, grads), args.steps) * 1e3
+        ips = 1e3 / ms * 2 * b
+    elif args.probe == "tgtpass":
+        # The DA methods' target branch after the backbone: proposal layer
+        # under the TEST RPN config + RoIAlign + box head on the post-NMS
+        # RoIs, fwd+bwd (the instance-DA GRL pulls gradients through fc7
+        # into the head and the feature map).
+        from tllod_tpu.models.faster_rcnn import FasterRCNN
+        det = FasterRCNN(num_classes=9, cfg=cfg, net="vgg16", dtype=dtype)
+        rngs = {"params": jax.random.PRNGKey(0),
+                "sampling": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2)}
+        small = _make_batch(b, 128, 256, domain=1, seed=0)
+        params = det.init(rngs, small["im_data"], small["im_info"],
+                          small["gt_boxes"], training=True)["params"]
+
+        @jax.jit
+        def feats(p, x):
+            return det.apply({"params": p}, x, method="features")
+
+        base = feats(params, jax.device_put(jnp.asarray(src["im_data"])))
+        jax.block_until_ready(base)
+
+        @jax.jit
+        def step(p, rng, base, batch):
+            def loss(p):
+                out = det.apply(
+                    {"params": p}, base, batch["im_info"],
+                    batch["gt_boxes"], training=True, supervised=False,
+                    method="forward_from_features",
+                    rngs={"sampling": rng, "dropout": rng})
+                return jnp.sum(out["pooled_feat"].astype(jnp.float32) ** 2)
+            return jax.grad(loss)(p)
+
+        batch = jax.device_put(src)
+        rng = jax.random.PRNGKey(3)
+        ms = _timeit(lambda p: step(p, rng, base, batch),
+                     args.steps, params) * 1e3
+        ips = 1e3 / ms * b
     elif args.probe in ("eval", "evalfwd", "evalpost"):
         # the test-CLI hot loop (reference methods/DAF/DAF_test.py:255-317):
         #   eval     = detector fwd + on-device decode + per-class NMS
@@ -287,16 +390,64 @@ def main():
         def apply_fn(p, r, s, t):
             return model.apply({"params": p}, s, t, training=True, rngs=r)
 
+        loss_fn = daf_loss
+        if args.no_tgt:
+            # drop the three target-domain terms: XLA dead-code-eliminates
+            # the whole target branch (proposal NMS, RoIAlign, head, DA
+            # heads on target) — but NOT the target half of the fused
+            # [src; tgt] conv pass, which is one batched op
+            def loss_fn(out, lamda=0.1):
+                det_l = (out["rpn_loss_cls"] + out["rpn_loss_box"]
+                         + out["rcnn_loss_cls"] + out["rcnn_loss_box"])
+                return det_l + lamda * (out["da_img_loss"]
+                                        + out["da_ins_loss"]
+                                        + out["da_cst_loss"])
+        if args.no_update:
+            # grad-only step: keeps the clip-style global-norm read (one
+            # full pass over the grads) but skips momentum/decay/apply —
+            # full-step minus this isolates the optimizer's HBM cost
+            import optax as _optax
+            from tllod_tpu.train import TrainState
+
+            def _grad_body(state, rng_, s_, t_):
+                rng_ = jax.random.fold_in(rng_, state.step)
+                sampling, dropout = jax.random.split(rng_)
+
+                def compute(p):
+                    out = apply_fn(p, {"sampling": sampling,
+                                       "dropout": dropout}, s_, t_)
+                    return loss_fn(out)
+
+                loss, grads = jax.value_and_grad(compute)(state.params)
+                m = {"loss": loss, "gnorm": _optax.global_norm(grads)}
+                return TrainState(state.params, state.opt_state,
+                                  state.step + 1), m
+
+            def make_train_step(afn, lfn, tx_, donate=False):
+                del afn, lfn, tx_, donate
+                return jax.jit(_grad_body)
+
+            def make_train_step_multi_override(afn, lfn, tx_, donate=False):
+                del afn, lfn, tx_, donate
+
+                def multi(state, rng_, ks_, kt_):
+                    def body(st, args_):
+                        return _grad_body(st, rng_, args_[0], args_[1])
+                    return jax.lax.scan(body, state, (ks_, kt_))
+                return jax.jit(multi)
+
         rng = jax.random.PRNGKey(3)
         s = jax.device_put(src)
         t = jax.device_put(tgt)
         if args.fused > 1:
             from tllod_tpu.train import make_train_step_multi
+            if args.no_update:
+                make_train_step_multi = make_train_step_multi_override
             k = args.fused
             stack = lambda batch: jax.tree_util.tree_map(
                 lambda x: jnp.broadcast_to(x[None], (k,) + x.shape), batch)
             ks, kt = stack(s), stack(t)
-            mstep = make_train_step_multi(apply_fn, daf_loss, tx,
+            mstep = make_train_step_multi(apply_fn, loss_fn, tx,
                                           donate=False)
             state, m = mstep(state, rng, ks, kt)
             float(m["loss"][-1])
@@ -307,7 +458,7 @@ def main():
             float(m["loss"][-1])
             ms = (time.perf_counter() - t1) / (n_calls * k) * 1e3
         else:
-            step = make_train_step(apply_fn, daf_loss, tx, donate=False)
+            step = make_train_step(apply_fn, loss_fn, tx, donate=False)
             state, m = step(state, rng, s, t)
             float(m["loss"])
             t1 = time.perf_counter()
