@@ -262,3 +262,33 @@ def test_daf_fused_pair_parity():
                                 "dropout": jax.random.PRNGKey(8)})
         outs.append(np.array([float(out[k]) for k in keys]))
     np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=1e-5)
+
+
+def test_daf_fused_head_parity():
+    """The batched [src RoIs; tgt RoIs] box-head pass (``DAFModel.
+    fuse_head``) must produce the same losses as two separate head passes:
+    dense/conv head rows are independent, so concat→head→split is exact.
+    Uses the res14 head (no dropout) so the two paths draw identical rng
+    streams — with dropout the fused mask is still i.i.d. per row, but the
+    draws differ and bitwise comparison is meaningless."""
+    import jax.numpy as jnp
+
+    cfg = ge._tiny_cfg(post_train=16, post_test=8, pre=64, roi_batch=8)
+    src = ge._make_batch(1, 96, 128, domain=1, seed=0)
+    tgt = ge._make_batch(1, 96, 128, domain=0, seed=1)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    fused = DAFModel(num_classes=9, cfg=cfg, net="res14")
+    split = DAFModel(num_classes=9, cfg=cfg, net="res14", fuse_head=False)
+    variables = fused.init(rngs, src, tgt, training=True)
+    keys = ("rpn_loss_cls", "rpn_loss_box", "rcnn_loss_cls", "rcnn_loss_box",
+            "da_img_loss", "da_ins_loss", "da_cst_loss",
+            "tgt_da_img_loss", "tgt_da_ins_loss", "tgt_da_cst_loss")
+    outs = []
+    for model in (fused, split):
+        out = model.apply(variables, src, tgt, training=True,
+                          rngs={"sampling": jax.random.PRNGKey(7),
+                                "dropout": jax.random.PRNGKey(8)})
+        outs.append(np.array([float(out[k]) for k in keys]))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=1e-5)

@@ -43,6 +43,12 @@ class DAFModel(nn.Module):
     # One batched conv pass over [src; tgt] when bucket shapes match (exact:
     # every backbone op is per-image). False forces two passes (parity test).
     fuse_pair: bool = True
+    # One batched box-head (fc6/fc7) pass over [src RoIs; tgt RoIs]: the
+    # 103M-param fc6 weight and its gradient accumulation stream HBM once
+    # per step instead of twice. Exact for the dense head (rows are
+    # independent); dropout masks stay i.i.d. per row, only the rng stream
+    # differs from two separate draws.
+    fuse_head: bool = True
 
     def setup(self):
         self.detector = FasterRCNN(
@@ -80,21 +86,37 @@ class DAFModel(nn.Module):
         s_feat, t_feat = features_pair(det, src["im_data"], tgt["im_data"],
                                        fuse=self.fuse_pair)
 
-        # ---- source: full supervised path ----
-        out = det.forward_from_features(
-            s_feat, src["im_info"], src["gt_boxes"], training=training)
+        if self.fuse_head:
+            # src supervised + tgt unsupervised pre-head passes, then ONE
+            # fc6/fc7 chain over the concatenated RoI features.
+            out, s_samples, s_pooled = det.forward_pre_head(
+                s_feat, src["im_info"], src["gt_boxes"], training=training)
+            t_out, _, t_pooled = det.forward_pre_head(
+                t_feat, tgt["im_info"], tgt["gt_boxes"],
+                training=training, supervised=False)
+            ns = s_pooled.shape[0]
+            fc7 = det.box_head(jnp.concatenate([s_pooled, t_pooled], axis=0),
+                               deterministic=deterministic)
+            fc7_s, fc7_t = fc7[:ns], fc7[ns:]
+            out = det.finish_head(out, s_samples, fc7_s)
+        else:
+            # ---- source: full supervised path ----
+            out = det.forward_from_features(
+                s_feat, src["im_info"], src["gt_boxes"], training=training)
+            fc7_s = out["pooled_feat"]
+            # ---- target: unsupervised path, RPN under TEST config ----
+            t_out = det.forward_from_features(
+                t_feat, tgt["im_info"], tgt["gt_boxes"],
+                training=training, supervised=False)
+            fc7_t = t_out["pooled_feat"]
+
         s_rois_per_img = out["rois"].shape[1]
         img_l, ins_l, cst_l = self._domain_terms(
-            out["base_feat"], out["pooled_feat"], src["domain"],
+            out["base_feat"], fc7_s, src["domain"],
             s_rois_per_img, consistency_channel=1,
             deterministic=deterministic)
-
-        # ---- target: unsupervised path, RPN under TEST config ----
-        t_out = det.forward_from_features(
-            t_feat, tgt["im_info"], tgt["gt_boxes"],
-            training=training, supervised=False)
         t_img_l, t_ins_l, t_cst_l = self._domain_terms(
-            t_feat, t_out["pooled_feat"], tgt["domain"],
+            t_feat, fc7_t, tgt["domain"],
             t_out["rois"].shape[1],
             consistency_channel=0, deterministic=deterministic)
 

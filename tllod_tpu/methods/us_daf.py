@@ -122,6 +122,10 @@ class USDAFModel(nn.Module):
     # One batched conv pass over [src; tgt] when bucket shapes match (exact:
     # every backbone op is per-image; see DAFModel.fuse_pair).
     fuse_pair: bool = True
+    # One batched box-head pass over [src RoIs; tgt RoIs] — head weights and
+    # their gradient accumulation stream HBM once per step instead of twice
+    # (exact: head rows are independent; see DAFModel.fuse_head).
+    fuse_head: bool = True
 
     def setup(self):
         self.detector = FasterRCNN(
@@ -157,14 +161,29 @@ class USDAFModel(nn.Module):
         s_feat, t_feat = features_pair(det, src["im_data"], tgt["im_data"],
                                        fuse=self.fuse_pair)
 
-        out = det.forward_from_features(
-            s_feat, src["im_info"], src["gt_boxes"], training=training)
-        img_l, ins_l = self._terms(out["base_feat"], out["pooled_feat"],
+        if self.fuse_head:
+            out, s_samples, s_pooled = det.forward_pre_head(
+                s_feat, src["im_info"], src["gt_boxes"], training=training)
+            t_out, _, t_pooled = det.forward_pre_head(
+                t_feat, tgt["im_info"], tgt["gt_boxes"],
+                training=training, supervised=False)
+            ns = s_pooled.shape[0]
+            fc7 = det.box_head(jnp.concatenate([s_pooled, t_pooled], axis=0),
+                               deterministic=deterministic)
+            fc7_s, fc7_t = fc7[:ns], fc7[ns:]
+            out = det.finish_head(out, s_samples, fc7_s)
+        else:
+            out = det.forward_from_features(
+                s_feat, src["im_info"], src["gt_boxes"], training=training)
+            fc7_s = out["pooled_feat"]
+            t_out = det.forward_from_features(
+                t_feat, tgt["im_info"], tgt["gt_boxes"],
+                training=training, supervised=False)
+            fc7_t = t_out["pooled_feat"]
+
+        img_l, ins_l = self._terms(out["base_feat"], fc7_s,
                                    out["rois"], 1.0, deterministic)
-        t_out = det.forward_from_features(
-            t_feat, tgt["im_info"], tgt["gt_boxes"],
-            training=training, supervised=False)
-        t_img_l, t_ins_l = self._terms(t_feat, t_out["pooled_feat"],
+        t_img_l, t_ins_l = self._terms(t_feat, fc7_t,
                                        t_out["rois"], 0.0, deterministic)
 
         out.update({"da_img_loss": img_l, "da_ins_loss": ins_l,

@@ -197,21 +197,19 @@ class FasterRCNN(nn.Module):
             "rois_label": labels,
         }
 
-    def forward_from_features(self, base_feat, im_info, gt_boxes, *,
-                              training: bool,
-                              supervised: Optional[bool] = None,
-                              post_nms_top_n: Optional[int] = None,
-                              proposal_sample_rng=None
-                              ) -> Dict[str, Any]:
-        """RPN → (sampling) → RoI features → head → losses, given a feature
-        map. Method wrappers call this per backbone branch.
+    def forward_pre_head(self, base_feat, im_info, gt_boxes, *,
+                         training: bool,
+                         supervised: Optional[bool] = None,
+                         post_nms_top_n: Optional[int] = None,
+                         proposal_sample_rng=None):
+        """Everything before the box head: RPN → (sampling) → RoI pooling.
 
-        ``training`` controls dropout; ``supervised`` (defaults to
-        ``training``) controls the RPN config key, target sampling and
-        losses — DA target passes use ``training=True, supervised=False``,
-        reproducing the reference's "model.train() but RCNN_rpn.eval()"
-        (``lib/DAF/faster_rcnn.py:140``: dropout stays active on the target
-        head).
+        Returns ``(out, samples, pooled)`` so method wrappers can batch the
+        source+target head pass into ONE fc6/fc7 matmul chain (see
+        ``DAFModel.fuse_head``) — the 103M-param fc6 weight (and its
+        gradient accumulation) then streams HBM once per step instead of
+        twice. Dense rows are independent, so concat→head→split is exact
+        (``tests/test_methods_structure.py::test_head_concat_split_parity``).
         """
         cfg = self.cfg
         if supervised is None:
@@ -244,11 +242,17 @@ class FasterRCNN(nn.Module):
         n_rois = rois.shape[1]
         pooled = self.roi_features(base_feat, rois.reshape(b * n_rois, 5),
                                    training=training)
-        fc7 = self.box_head(pooled, deterministic=not training)
         out["rois"] = rois
-        out["pooled_feat"] = fc7
+        return out, samples, pooled
 
-        if supervised:
+    def finish_head(self, out: Dict[str, Any],
+                    samples: "Optional[RoiSamples]",
+                    fc7) -> Dict[str, Any]:
+        """Box-head outputs + losses given fc7 rows for ``out['rois']``
+        (the post-head half of :meth:`forward_from_features`)."""
+        b, n_rois = out["rois"].shape[:2]
+        out["pooled_feat"] = fc7
+        if samples is not None:
             out.update(self.head_losses(fc7, samples))
             cls_prob, bbox_pred = out["cls_prob"], out["bbox_pred"]
         else:
@@ -257,6 +261,29 @@ class FasterRCNN(nn.Module):
         out["cls_prob"] = cls_prob.reshape(b, n_rois, -1)
         out["bbox_pred"] = bbox_pred.reshape(b, n_rois, -1)
         return out
+
+    def forward_from_features(self, base_feat, im_info, gt_boxes, *,
+                              training: bool,
+                              supervised: Optional[bool] = None,
+                              post_nms_top_n: Optional[int] = None,
+                              proposal_sample_rng=None
+                              ) -> Dict[str, Any]:
+        """RPN → (sampling) → RoI features → head → losses, given a feature
+        map. Method wrappers call this per backbone branch.
+
+        ``training`` controls dropout; ``supervised`` (defaults to
+        ``training``) controls the RPN config key, target sampling and
+        losses — DA target passes use ``training=True, supervised=False``,
+        reproducing the reference's "model.train() but RCNN_rpn.eval()"
+        (``lib/DAF/faster_rcnn.py:140``: dropout stays active on the target
+        head).
+        """
+        out, samples, pooled = self.forward_pre_head(
+            base_feat, im_info, gt_boxes, training=training,
+            supervised=supervised, post_nms_top_n=post_nms_top_n,
+            proposal_sample_rng=proposal_sample_rng)
+        fc7 = self.box_head(pooled, deterministic=not training)
+        return self.finish_head(out, samples, fc7)
 
     def __call__(self, im_data, im_info, gt_boxes, *,
                  training: bool = False) -> Dict[str, Any]:
