@@ -25,8 +25,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tllod_tpu.config import Config
-from tllod_tpu.methods.da_modules import (ImageDA, InstanceDA, image_da_loss,
-                                          instance_da_loss)
+from tllod_tpu.methods.da_modules import (ImageDA, InstanceDA,
+                                          blocked_instance_labels,
+                                          image_da_loss)
+from tllod_tpu.ops.losses import binary_cross_entropy
 from tllod_tpu.models.backbones import VGG16Features
 from tllod_tpu.models.faster_rcnn import FasterRCNN
 
@@ -111,13 +113,18 @@ class ATFModel(nn.Module):
                                       anc_rois.reshape(-1, 5))
         anc_fc7 = det.box_head(anc_pooled, deterministic=deterministic)
         ins_prob = self.ins_da(anc_fc7, deterministic=deterministic)
-        out["da_ins_loss"] = instance_da_loss(ins_prob, src["domain"],
-                                              anc_rois.shape[1])
+        # the reference's hard-coded 256-row label blocks: over the full
+        # 2000-proposal set only the first 256 source rows are labeled 1
+        # (lib/ATF/LabelResizeLayer.py:47-60) — see blocked_instance_labels
+        out["da_ins_loss"] = binary_cross_entropy(
+            ins_prob, blocked_instance_labels(src["domain"],
+                                              ins_prob.shape[0]))
 
         t_ins_prob = self.ins_da(t_out["pooled_feat"],
                                  deterministic=deterministic)
-        out["tgt_da_ins_loss"] = instance_da_loss(
-            t_ins_prob, tgt["domain"], t_out["rois"].shape[1])
+        out["tgt_da_ins_loss"] = binary_cross_entropy(
+            t_ins_prob, blocked_instance_labels(tgt["domain"],
+                                                t_ins_prob.shape[0]))
         return out
 
 

@@ -74,6 +74,23 @@ def instance_da_loss(probs: jnp.ndarray, domain: jnp.ndarray,
     return binary_cross_entropy(probs, labels)
 
 
+def blocked_instance_labels(domain: jnp.ndarray, total_rows: int,
+                            block: int = 256) -> jnp.ndarray:
+    """The reference ``InstanceLabelResizeLayer``'s EXACT label layout
+    (``lib/ATF/LabelResizeLayer.py:43-60``): a zeros(R_total) vector where
+    image i's label fills rows ``[i·256, (i+1)·256)`` — the 256 is
+    hard-coded upstream regardless of the true RoI count. For DAF-style
+    heads R == 256 and this equals a plain repeat; for ATF, which feeds the
+    FULL 2000-proposal set, only the first 256 source rows carry label 1
+    and the remaining 1744 are labeled 0. Faithfully reproduced (it shapes
+    the published ATF mAP); returns (R_total, 1) float labels."""
+    rows = jnp.arange(total_rows, dtype=jnp.int32) // block
+    d = domain.astype(jnp.float32).reshape(-1)
+    in_range = rows < d.shape[0]
+    picked = jnp.take(d, jnp.clip(rows, 0, d.shape[0] - 1))
+    return jnp.where(in_range, picked, 0.0)[:, None]
+
+
 
 def features_pair(det, src_im, tgt_im, *, return_taps: bool = False,
                   fuse: bool = True):

@@ -54,9 +54,10 @@ def dam(feat: jnp.ndarray) -> jnp.ndarray:
 
 def pairwise_dist(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-6
                   ) -> jnp.ndarray:
-    """mean over positions of the channel-wise L2 distance
-    (``F.pairwise_distance(..., 2)``)."""
-    return jnp.sqrt(jnp.sum((a - b) ** 2, axis=-1) + eps).mean()
+    """mean over positions of the channel-wise L2 distance, with torch's
+    exact ``F.pairwise_distance(..., 2)`` semantics: the eps is added to the
+    DIFFERENCE before the norm (``||a - b + eps||_2``), not to the sum."""
+    return jnp.sqrt(jnp.sum((a - b + eps) ** 2, axis=-1)).mean()
 
 
 def focal_loss(logits: jnp.ndarray, label: int, gamma: float = 5.0,
