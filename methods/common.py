@@ -388,6 +388,30 @@ class StepProfiler:
             print("[profile] trace written")
 
 
+def maybe_init_distributed() -> bool:
+    """Env-gated multi-process runtime init (the executable form of the
+    docstring promise at ``tllod_tpu/parallel/mesh.py:10``): when
+    ``TLLOD_DIST_COORD`` (host:port), ``TLLOD_DIST_NPROCS`` and
+    ``TLLOD_DIST_PID`` are set, bring up ``jax.distributed`` BEFORE any
+    backend use so ``jax.devices()`` spans every process and the jitted
+    train/eval steps shard over the global mesh (gradients psum over
+    ICI/DCN automatically — no reference counterpart; its only multi-GPU
+    story is single-process ``nn.DataParallel``). Returns True when a
+    distributed runtime was initialized. Exercised end-to-end by
+    tests/test_multihost_train.py."""
+    coord = os.environ.get("TLLOD_DIST_COORD")
+    if not coord:
+        return False
+    import jax
+    jax.distributed.initialize(
+        coord, num_processes=int(os.environ["TLLOD_DIST_NPROCS"]),
+        process_id=int(os.environ["TLLOD_DIST_PID"]))
+    print(f"jax.distributed: process {jax.process_index()}/"
+          f"{jax.process_count()}, {len(jax.local_devices())} local / "
+          f"{len(jax.devices())} global devices")
+    return True
+
+
 def setup_parallelism(args, state):
     """CLI-level mesh construction shared by every train entry point.
 
@@ -442,7 +466,9 @@ def stack_batches(it, k: int, mesh, spatial: bool = False):
     """
     import jax
     import numpy as np
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
+
+    from tllod_tpu.parallel.mesh import place_global
 
     bs = [next(it) for _ in range(k)]
     out = {}
@@ -457,8 +483,19 @@ def stack_batches(it, k: int, mesh, spatial: bool = False):
                 pv[tuple(slice(0, s) for s in v.shape)] = v
                 padded.append(pv)
             vals = padded
-        v = np.stack(vals)
-        spec = (P(None, "data", "model") if spatial and key == "im_data"
-                else P(None, "data"))
-        out[key] = jax.device_put(v, NamedSharding(mesh, spec))
-    return out
+        out[key] = np.stack(vals)
+    if jax.process_count() > 1:
+        # cross-process agreement on the stacked image shape (each process
+        # stacks its own local batches — see mesh.sync_image_shapes)
+        from jax.experimental import multihost_utils
+        im = out["im_data"]
+        shapes = np.asarray(multihost_utils.process_allgather(
+            np.asarray(im.shape[2:4], np.int64)))
+        h, w = int(shapes[..., 0].max()), int(shapes[..., 1].max())
+        if (h, w) != im.shape[2:4]:
+            pv = np.zeros(im.shape[:2] + (h, w) + im.shape[4:], im.dtype)
+            pv[:, :, :im.shape[2], :im.shape[3]] = im
+            out["im_data"] = pv
+    return {key: place_global(
+        v, mesh, P(None, "data", "model") if spatial and key == "im_data"
+        else P(None, "data")) for key, v in out.items()}

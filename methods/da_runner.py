@@ -36,6 +36,8 @@ def run_da_training(method_name: str, model_ctor: Callable,
     with ``__call__(src, tgt, training=...)``; loss_builder(args) → fn(out).
     """
     print("Called with args:", args)
+    from common import maybe_init_distributed
+    maybe_init_distributed()
     cfg = resolve_config(args)
     np.random.seed(cfg.RNG_SEED)
 
@@ -44,10 +46,26 @@ def run_da_training(method_name: str, model_ctor: Callable,
     t_ds, t_roidb, _, _ = combined_roidb(ds["t_imdb"])
     print(f"source {len(s_roidb)} target {len(t_roidb)} roidb entries")
 
-    s_loader = DetectionLoader(s_roidb, cfg, batch_size=args.batch_size,
+    # multi-process: each process streams a strided roidb shard and feeds
+    # its 1/P slice of the global batch (mesh.place_global assembles the
+    # global arrays; XLA psums the gradients over the full device mesh)
+    pcount, pid = jax.process_count(), jax.process_index()
+    local_bs = args.batch_size
+    if pcount > 1:
+        if args.batch_size % pcount != 0:
+            raise ValueError(f"--bs {args.batch_size} must be divisible by "
+                             f"the {pcount} processes")
+        local_bs = args.batch_size // pcount
+        from tllod_tpu.parallel.multihost import shard_roidb
+        s_roidb, _ = shard_roidb(s_roidb, pid, pcount)
+        t_roidb, _ = shard_roidb(t_roidb, pid, pcount)
+        print(f"process {pid}: {len(s_roidb)} source / {len(t_roidb)} "
+              f"target roidb entries, local bs {local_bs}")
+
+    s_loader = DetectionLoader(s_roidb, cfg, batch_size=local_bs,
                                domain=1, seed=cfg.RNG_SEED,
                            num_workers=args.num_workers)
-    t_loader = DetectionLoader(t_roidb, cfg, batch_size=args.batch_size,
+    t_loader = DetectionLoader(t_roidb, cfg, batch_size=local_bs,
                                domain=0, seed=cfg.RNG_SEED + 1,
                            num_workers=args.num_workers)
 

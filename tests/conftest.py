@@ -36,3 +36,10 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(3)  # reference RNG_SEED=3 (config.py:262)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy-compile tests (method train steps, learning/golden "
+        "runs); `pytest -m 'not slow'` is the quick tier — see README")

@@ -11,6 +11,9 @@ from tllod_tpu.config import Config
 from tllod_tpu.models.faster_rcnn import FasterRCNN, detection_loss
 
 
+pytestmark = pytest.mark.slow  # heavy XLA compiles — quick tier: pytest -m 'not slow'
+
+
 def _tiny_cfg():
     c = Config()
     train = dataclasses.replace(

@@ -15,6 +15,11 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..")))
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy XLA compiles — quick tier: pytest -m 'not slow'
+
+
 def test_fused_two_steps_match_two_single_steps():
     import __graft_entry__ as ge
     from tllod_tpu.methods.daf import DAFModel, daf_loss

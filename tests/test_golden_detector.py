@@ -40,6 +40,9 @@ C = 5          # classes incl. background
 PRE, POST = 120, 16
 
 
+pytestmark = pytest.mark.slow  # heavy XLA compiles — quick tier: pytest -m 'not slow'
+
+
 def _conv_t(m):
     return {"kernel": m.weight.detach().numpy().transpose(2, 3, 1, 0),
             "bias": m.bias.detach().numpy()}

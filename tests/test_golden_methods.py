@@ -83,6 +83,7 @@ def _torch_daf_terms(feat_nchw, fc7_t, conv1, conv2, fcs, domain_value,
     return float(img), float(ins), float(cst)
 
 
+@pytest.mark.slow  # full model init
 def test_daf_losses_golden(rng):
     """All six DAF DA terms through the real DAFModel._domain_terms
     composition must match the torch transcription bit-for-bit (shared
@@ -242,6 +243,7 @@ def _torch_bce_margin(x_sigmoid, label):
     return (bce * weight).mean()
 
 
+@pytest.mark.slow  # full model init
 def test_us_daf_losses_golden():
     """US-DAF's four DA terms through the real ``USDAFModel._terms``
     composition vs the torch transcription of ``lib/US_DAF/faster_rcnn.py:

@@ -33,6 +33,9 @@ C = 5
 PRE, POST = 120, 16
 
 
+pytestmark = pytest.mark.slow  # heavy XLA compiles — quick tier: pytest -m 'not slow'
+
+
 def _torch_resnet_trunk(depth=101):
     """conv1..layer4 with torchvision names (what convert_resnet reads)."""
     spec = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[depth]

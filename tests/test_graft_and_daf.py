@@ -13,6 +13,11 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..")))
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy XLA compiles — quick tier: pytest -m 'not slow'
+
+
 def test_entry_compiles_and_runs():
     import __graft_entry__ as ge
     fn, args = ge.entry()

@@ -48,6 +48,9 @@ CASES = [
 ]
 
 
+pytestmark = pytest.mark.slow  # heavy XLA compiles — quick tier: pytest -m 'not slow'
+
+
 def _train(model, loss_fn, src, tgt, n_steps=N_STEPS, lr=0.005,
            clip_norm=10.0):
     params = model.init(

@@ -35,6 +35,9 @@ CASES = [
 ]
 
 
+pytestmark = pytest.mark.slow  # heavy XLA compiles — quick tier: pytest -m 'not slow'
+
+
 def _batches():
     # large enough that PA-ATF's strided mask convs keep nonzero extent
     # (its conv5x5s3 → pool2s2 → conv3x3s2 VALID stack needs a stride-16

@@ -84,6 +84,7 @@ print("OK", jax.process_index())
 """
 
 
+@pytest.mark.slow
 def test_two_process_allgather(tmp_path):
     """Real jax.distributed 2-process allgather on the CPU backend."""
     repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))

@@ -18,6 +18,9 @@ from tllod_tpu.utils.checkpoint import resume_train_state, save_checkpoint
 from tllod_tpu.utils.optim import make_sgd, step_decay_schedule
 
 
+pytestmark = pytest.mark.slow  # heavy XLA compiles — quick tier: pytest -m 'not slow'
+
+
 def _setup():
     params = {"dense": {"kernel": jnp.ones((4, 4)) * 0.5,
                         "bias": jnp.zeros((4,))},

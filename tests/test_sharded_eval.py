@@ -12,6 +12,11 @@ import numpy as np
 from tllod_tpu.config import Config
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy XLA compiles — quick tier: pytest -m 'not slow'
+
+
 def _tiny_cfg():
     c = Config()
     train = dataclasses.replace(

@@ -17,6 +17,11 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..")))
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy XLA compiles — quick tier: pytest -m 'not slow'
+
+
 def test_tp_loss_matches_single_device():
     import __graft_entry__ as ge
     from tllod_tpu.methods.daf import DAFModel, daf_loss

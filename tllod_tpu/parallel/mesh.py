@@ -150,23 +150,61 @@ def check_batch_divisible(batch_size: int, mesh: Mesh) -> None:
             f"(e.g. --bs {((batch_size // n) + 1) * n}).")
 
 
+def place_global(v, mesh: Mesh, spec) -> Any:
+    """Place one host array onto the mesh under ``spec``.
+
+    Single-process: a plain ``device_put``. Under ``jax.distributed``
+    (multi-process training), ``v`` is this process's LOCAL chunk of the
+    global batch and rides ``host_local_array_to_global_array`` — the
+    multi-process mirror of the reference-free design in SURVEY §2.5
+    ("N devices see N shards of the sampler")."""
+    if jax.process_count() == 1:
+        return jax.device_put(v, NamedSharding(mesh, spec))
+    from jax.experimental import multihost_utils
+    return multihost_utils.host_local_array_to_global_array(
+        np.asarray(v), mesh, spec)
+
+
+def sync_image_shapes(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Multi-process only: agree on one padded image shape across processes.
+
+    Each process's loader pads its local batch to its OWN bucket; the global
+    array requires identical non-batch dims, so allgather the local (H, W)
+    and zero-pad every process to the elementwise max (identical semantics
+    to the loader's own bucket padding — ``im_info`` keeps true sizes, so
+    padding stays outside-image)."""
+    if jax.process_count() == 1:
+        return batch
+    from jax.experimental import multihost_utils
+
+    im = np.asarray(batch["im_data"])
+    shapes = np.asarray(multihost_utils.process_allgather(
+        np.asarray(im.shape[1:3], np.int64)))
+    h, w = int(shapes[..., 0].max()), int(shapes[..., 1].max())
+    if (h, w) != im.shape[1:3]:
+        padded = np.zeros((im.shape[0], h, w, im.shape[3]), im.dtype)
+        padded[:, :im.shape[1], :im.shape[2]] = im
+        batch = dict(batch, im_data=padded)
+    return batch
+
+
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh, *,
                 spatial: bool = False) -> Dict[str, Any]:
     """Place a host batch dict onto the mesh, sharded on dim 0.
 
     With ``spatial=True`` (requires a mesh with a "model" axis), the image
     tensor is additionally sharded on its height dim —
-    :func:`spatial_image_sharding`."""
-    s = batch_sharding(mesh)
-    s_img = s
-    if spatial:
-        if "model" not in mesh.axis_names:
-            raise ValueError("spatial sharding needs a (data, model) mesh "
-                             "— use make_mesh_2d / --tp")
-        s_img = spatial_image_sharding(mesh)
+    :func:`spatial_image_sharding`. Under ``jax.distributed`` the dict is
+    this process's local batch slice (see :func:`place_global`)."""
+    if spatial and "model" not in mesh.axis_names:
+        raise ValueError("spatial sharding needs a (data, model) mesh "
+                         "— use make_mesh_2d / --tp")
+    batch = sync_image_shapes(batch)
     for v in batch.values():
         if hasattr(v, "shape") and v.ndim >= 1:
-            check_batch_divisible(v.shape[0], mesh)
+            check_batch_divisible(v.shape[0] * jax.process_count(), mesh)
             break
-    return {k: jax.device_put(v, s_img if k == "im_data" else s)
+    return {k: place_global(v, mesh,
+                            P("data", "model") if spatial and k == "im_data"
+                            else P("data"))
             for k, v in batch.items()}
