@@ -44,6 +44,9 @@ def main():
                         help="pseudo-labeled target split name")
     parser.add_argument("--t_annotations", default="Annotations_pseudo",
                         type=str, help="target annotation subdir")
+    parser.add_argument("--t_split", default="train_t", type=str,
+                        help="target image-set name (e.g. train_t_aug = "
+                             "pseudo-labeled images + stage-④ mosaics)")
     parser.add_argument("--sep_epoch", default=3, type=int,
                         help="epoch from which separation losses activate "
                              "(reference IDF_train.py:255)")
@@ -60,7 +63,7 @@ def main():
         # but annotations from the pseudo-label dir
         def _ctor():
             root = os.path.join(data_dir(), "cityscape", "VOC2007")
-            d = VOCDetection(t_name, root, "train_t",
+            d = VOCDetection(t_name, root, args.t_split,
                              CLASS_SETS["cityscape"])
             d.annotation_dir = args.t_annotations
             orig = d.annotation_path

@@ -103,12 +103,69 @@ TRAIN_CLI = {"daf": "methods/DAF/DAF_train.py",
              "mad": "methods/MAD/MAD_train.py",
              "atf": "methods/ATF/ATF_train.py",
              "maf": "methods/MAF/MAF_train.py",
-             "us_daf": "methods/US_DAF/US_DAF_train.py"}
+             "us_daf": "methods/US_DAF/US_DAF_train.py",
+             "idf": "methods/IDF/IDF_train.py"}
 TEST_CLI = {"daf": "methods/DAF/DAF_test.py",
             "mad": "methods/MAD/MAD_test.py",
             "atf": "methods/ATF/ATF_test.py",
             "maf": "methods/MAF/MAF_test.py",
-            "us_daf": "methods/US_DAF/US_DAF_test.py"}
+            "us_daf": "methods/US_DAF/US_DAF_test.py",
+            "idf": "methods/IDF/IDF_test.py"}
+
+
+def run_idf_pipeline(args, env, save_dir, log):
+    """IDF stages ②→④ (the prerequisites of the stage-⑤ CLI): source-only
+    detector → pseudo-label XMLs on train_t → offline mosaics → combined
+    target split ``train_t_aug``. Returns the extra stage-⑤ train flags.
+    Reference pipeline: ``/root/reference/methods/IDF/IDF_train.sh:1-17``
+    (stage ① CycleGAN is external there too — the synthetic source split
+    plays the translated images)."""
+    epochs2 = max(1, (args.steps + 15) // 16)
+    s2_dir = os.path.join(args.root, "out_idf_stage2")
+    rc = run([sys.executable, "methods/faster_rcnn/faster_rcnn_train.py",
+              "--dataset", "cityscape", "--net", args.net, "--bs", "1",
+              "--lr", str(args.lr), "--lr_decay_step", "1000",
+              "--epochs", str(epochs2), "--max_steps", str(args.steps),
+              "--disp_interval", "50", "--save_epoch_interval", "1000",
+              "--save_dir", s2_dir, "--set"] + SET_CFGS, env, log)
+    if rc != 0:
+        sys.exit(f"idf stage-2 training failed rc={rc} (see {log})")
+    ck_dir = os.path.join(s2_dir, args.net, "cityscape")
+    ckpts = sorted((f for f in os.listdir(ck_dir)
+                    if re.match(r"faster_rcnn_\d+_\d+_\d+$", f)),
+                   key=lambda f: int(f.rsplit("_", 1)[1]))
+    s2_ckpt = os.path.join(ck_dir, ckpts[-1])
+
+    rc = run([sys.executable, "tools/generate_pseudo_labels.py",
+              "--dataset", "cityscape", "--part", "train_t",
+              "--net", args.net, "--load_name", s2_ckpt,
+              "--threshold", "0.7", "--output_dir",
+              os.path.join(args.root, "eval_idf_s3"),
+              "--set"] + SET_CFGS, env, log)
+    if rc != 0:
+        sys.exit(f"idf stage-3 pseudo labels failed rc={rc} (see {log})")
+
+    voc = os.path.join(args.root, "cityscape", "VOC2007")
+    rc = run([sys.executable, "tools/mosaic_augment.py", "--root", voc,
+              "--split", "train_t", "--annotations", "Annotations_pseudo",
+              "--num", "8", "--width", "512", "--height", "256"],
+             env, log)
+    if rc != 0:
+        sys.exit(f"idf stage-4 mosaic failed rc={rc} (see {log})")
+
+    sets = os.path.join(voc, "ImageSets", "Main")
+    names = []
+    for split in ("train_t", "train_t_mosaic"):
+        p = os.path.join(sets, split + ".txt")
+        if os.path.exists(p):
+            names += [x.strip() for x in open(p) if x.strip()]
+    # only images that actually got pseudo labels
+    names = [n for n in names if os.path.exists(
+        os.path.join(voc, "Annotations_pseudo", n + ".xml"))]
+    assert names, "stage 3 produced no pseudo-labeled images"
+    with open(os.path.join(sets, "train_t_aug.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
+    return ["--t_split", "train_t_aug", "--sep_epoch", "3"]
 
 
 def run(cmd, env, log_path):
@@ -150,6 +207,9 @@ def main() -> None:
     log = os.path.join(args.root, f"{m}.log")
     epochs = max(1, (args.steps + 15) // 16)   # 16 imgs/split, bs 1
     if not args.skip_train:
+        extra = []
+        if m == "idf":
+            extra = run_idf_pipeline(args, env, save_dir, log)
         rc = run([sys.executable, TRAIN_CLI[m], "--dataset", "cityscape",
                   "--net", args.net, "--bs", "1", "--lr", str(args.lr),
                   "--lr_decay_step", "1000", "--epochs", str(epochs),
@@ -157,7 +217,8 @@ def main() -> None:
                   # each epoch save fetches ~1 GB over the TPU tunnel
                   # (~5 min on this host) — only the final one matters here
                   "--save_epoch_interval", "1000",
-                  "--save_dir", save_dir, "--set"] + SET_CFGS, env, log)
+                  "--save_dir", save_dir, "--set"] + SET_CFGS + extra,
+                 env, log)
         if rc != 0:
             sys.exit(f"{m} training failed rc={rc} (see {log})")
 
