@@ -104,13 +104,39 @@ TRAIN_CLI = {"daf": "methods/DAF/DAF_train.py",
              "atf": "methods/ATF/ATF_train.py",
              "maf": "methods/MAF/MAF_train.py",
              "us_daf": "methods/US_DAF/US_DAF_train.py",
-             "idf": "methods/IDF/IDF_train.py"}
+             "idf": "methods/IDF/IDF_train.py",
+             "pa_atf": "methods/PA_ATF/PA_ATF_train.py",
+             "pt_maf": "methods/PT_MAF/PT_MAF_train.py"}
 TEST_CLI = {"daf": "methods/DAF/DAF_test.py",
             "mad": "methods/MAD/MAD_test.py",
             "atf": "methods/ATF/ATF_test.py",
             "maf": "methods/MAF/MAF_test.py",
             "us_daf": "methods/US_DAF/US_DAF_test.py",
-            "idf": "methods/IDF/IDF_test.py"}
+            "idf": "methods/IDF/IDF_test.py",
+            "pa_atf": "methods/PA_ATF/PA_ATF_test.py",
+            "pt_maf": "methods/PT_MAF/PT_MAF_test.py"}
+
+
+def train_source_teacher(args, env, log, out_name, steps=None):
+    """Source-only Faster R-CNN (IDF stage ②; PT-MAF's teacher —
+    ``/root/reference/methods/PT_MAF/PT_MAF_train.py:253-262`` loads a
+    pretrained source detector). Returns the checkpoint path."""
+    steps = steps or args.steps
+    epochs = max(1, (steps + 15) // 16)
+    s_dir = os.path.join(args.root, out_name)
+    rc = run([sys.executable, "methods/faster_rcnn/faster_rcnn_train.py",
+              "--dataset", "cityscape", "--net", args.net, "--bs", "1",
+              "--lr", str(args.lr), "--lr_decay_step", "1000",
+              "--epochs", str(epochs), "--max_steps", str(steps),
+              "--disp_interval", "50", "--save_epoch_interval", "1000",
+              "--save_dir", s_dir, "--set"] + SET_CFGS, env, log)
+    if rc != 0:
+        sys.exit(f"source-only teacher training failed rc={rc} (see {log})")
+    ck_dir = os.path.join(s_dir, args.net, "cityscape")
+    ckpts = sorted((f for f in os.listdir(ck_dir)
+                    if re.match(r"faster_rcnn_\d+_\d+_\d+$", f)),
+                   key=lambda f: int(f.rsplit("_", 1)[1]))
+    return os.path.join(ck_dir, ckpts[-1])
 
 
 def run_idf_pipeline(args, env, save_dir, log):
@@ -120,21 +146,7 @@ def run_idf_pipeline(args, env, save_dir, log):
     Reference pipeline: ``/root/reference/methods/IDF/IDF_train.sh:1-17``
     (stage ① CycleGAN is external there too — the synthetic source split
     plays the translated images)."""
-    epochs2 = max(1, (args.steps + 15) // 16)
-    s2_dir = os.path.join(args.root, "out_idf_stage2")
-    rc = run([sys.executable, "methods/faster_rcnn/faster_rcnn_train.py",
-              "--dataset", "cityscape", "--net", args.net, "--bs", "1",
-              "--lr", str(args.lr), "--lr_decay_step", "1000",
-              "--epochs", str(epochs2), "--max_steps", str(args.steps),
-              "--disp_interval", "50", "--save_epoch_interval", "1000",
-              "--save_dir", s2_dir, "--set"] + SET_CFGS, env, log)
-    if rc != 0:
-        sys.exit(f"idf stage-2 training failed rc={rc} (see {log})")
-    ck_dir = os.path.join(s2_dir, args.net, "cityscape")
-    ckpts = sorted((f for f in os.listdir(ck_dir)
-                    if re.match(r"faster_rcnn_\d+_\d+_\d+$", f)),
-                   key=lambda f: int(f.rsplit("_", 1)[1]))
-    s2_ckpt = os.path.join(ck_dir, ckpts[-1])
+    s2_ckpt = train_source_teacher(args, env, log, "out_idf_stage2")
 
     rc = run([sys.executable, "tools/generate_pseudo_labels.py",
               "--dataset", "cityscape", "--part", "train_t",
@@ -210,6 +222,12 @@ def main() -> None:
         extra = []
         if m == "idf":
             extra = run_idf_pipeline(args, env, save_dir, log)
+        elif m == "pt_maf":
+            # PT-MAF requires a trained source-only teacher
+            # (methods/PT_MAF/PT_MAF_train.py --teacher_ckpt)
+            teacher = train_source_teacher(args, env, log,
+                                           "out_pt_maf_teacher")
+            extra = ["--teacher_ckpt", teacher]
         rc = run([sys.executable, TRAIN_CLI[m], "--dataset", "cityscape",
                   "--net", args.net, "--bs", "1", "--lr", str(args.lr),
                   "--lr_decay_step", "1000", "--epochs", str(epochs),

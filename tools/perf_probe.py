@@ -106,7 +106,8 @@ def main():
     cfg = dataclasses.replace(cfg, ANCHOR_SCALES=(4, 8, 16, 32),
                               MAX_NUM_GT_BOXES=50)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    (h, w), b = args.hw, (args.batch if args.probe == "backbone" else 1)
+    batched_probes = ("backbone", "eval", "evalfwd", "evalpost")
+    (h, w), b = args.hw, (args.batch if args.probe in batched_probes else 1)
     src = _make_batch(b, h, w, domain=1, seed=0, n_boxes=15, max_gt=50)
     tgt = _make_batch(b, h, w, domain=0, seed=1, n_boxes=15, max_gt=50)
 
