@@ -80,7 +80,7 @@ def main():
     tgt_small = _make_batch(b, 128, 256, domain=0, seed=1)
     rng = jax.random.PRNGKey(3)
 
-    def measure_train(bf16: bool):
+    def measure_train(bf16: bool, bf16_momentum: bool = False):
         """(per-step img/s, fused-8 img/s, best step ms, flops, state)."""
         model = DAFModel(num_classes=9, cfg=cfg, net="vgg16",
                          dtype=(jnp.bfloat16 if bf16 else jnp.float32))
@@ -89,7 +89,9 @@ def main():
              "sampling": jax.random.PRNGKey(1),
              "dropout": jax.random.PRNGKey(2)}, src_small, tgt_small,
             training=True)["params"]
-        tx = make_sgd(0.002, clip_norm=10.0)
+        tx = make_sgd(0.002, clip_norm=10.0,
+                      momentum_dtype=(jnp.bfloat16 if bf16_momentum
+                                      else None))
         state = create_train_state(params, tx)
 
         def apply_fn(p, rngs, src, tgt):
@@ -151,9 +153,13 @@ def main():
         return ips, fused_ips, min(step_ms, fused_step_ms), flops, state
 
     bf16_ips, bf16_fused, bf16_ms, flops, state = measure_train(True)
-    best_ips = max(bf16_ips, bf16_fused)
+    # + bf16 momentum storage (--bf16_momentum): same gradients, velocity
+    # accumulator stored rounded — the optimizer's largest HBM stream halves
+    bm_ips, bm_fused, bm_ms, _, _ = measure_train(True, bf16_momentum=True)
+    best_ips = max(bf16_ips, bf16_fused, bm_ips, bm_fused)
+    best_ms = min(bf16_ms, bm_ms)
     peak = 197e12
-    mfu = (flops / (bf16_ms / 1000.0)) / peak if flops else None
+    mfu = (flops / (best_ms / 1000.0)) / peak if flops else None
 
     f32_best = f32_ms = None
     if not bench_args.skip_f32:
@@ -203,7 +209,11 @@ def main():
                          jnp.asarray(batch["gt_boxes"]))
         out = infer(det_params, im, info, gtb)
         float(out[3])  # compile + flush
-        n_disp = max(8, n_steps // eval_b)
+        # enough dispatches for a stable reading at every batch size — the
+        # r4 "bs4 slower than bs1" artifact was an 8-dispatch sample racing
+        # tunnel jitter (tools/perf_probe.py --probe eval with a long run
+        # measures bs4 ~9% faster)
+        n_disp = max(24, n_steps // eval_b)
         t0 = time.perf_counter()
         for _ in range(n_disp):
             out = infer(det_params, im, info, gtb)
@@ -221,11 +231,16 @@ def main():
         "vs_baseline": round(best_ips / ASSUMED_BASELINE_IMAGES_PER_SEC, 3),
         "baseline": "assumed 8.0 img/s (V100 torch-0.4; no published "
                     "reference throughput — see BASELINE.md)",
-        "train_config": ("--fuse_steps 8"
-                         if bf16_fused > bf16_ips else "per-step"),
+        "train_config": (
+            ("--fuse_steps 8" if max(bm_fused, bf16_fused)
+             >= max(bm_ips, bf16_ips) else "per-step")
+            + (" --bf16_momentum"
+               if max(bm_ips, bm_fused) > max(bf16_ips, bf16_fused)
+               else "")),
         "per_step_dispatch_images_per_sec": round(bf16_ips, 3),
         "fused8_images_per_sec": round(bf16_fused, 3),
-        "train_step_ms": round(bf16_ms, 2),
+        "bf16_momentum_images_per_sec": round(max(bm_ips, bm_fused), 3),
+        "train_step_ms": round(best_ms, 2),
         # eval_bs 1 and 4 (VERDICT r3 item 4): the headline eval number is
         # the better of the two — the test CLIs expose --eval_bs, and
         # batched eval is the recommended configuration

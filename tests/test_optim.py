@@ -95,6 +95,46 @@ def test_build_optimizer_dispatch():
         build_optimizer(_Args(optimizer="rmsprop", **base), cfg, 10)
 
 
+def test_bf16_momentum_tracks_f32_trajectory():
+    """``--bf16_momentum`` (make_sgd momentum_dtype=bf16) must store the
+    velocity rounded but keep the parameter trajectory within bf16 rounding
+    of the f32 run — it is a storage optimization, not a different
+    optimizer."""
+    from tllod_tpu.utils.optim import make_sgd
+
+    rng = np.random.RandomState(0)
+    w0 = {"dense": {"kernel": jnp.asarray(rng.randn(64, 32), jnp.float32)}}
+    x = jnp.asarray(rng.randn(16, 64), jnp.float32)
+
+    def loss(p):
+        return jnp.mean((x @ p["dense"]["kernel"]) ** 2)
+
+    def run(mdt):
+        tx = make_sgd(1e-2, clip_norm=10.0,
+                      trainable=lambda *_: True, momentum_dtype=mdt)
+        p = jax.tree_util.tree_map(jnp.copy, w0)
+        st = tx.init(p)
+        for _ in range(20):
+            g = jax.grad(loss)(p)
+            up, st = tx.update(g, st, p)
+            p = jax.tree_util.tree_map(jnp.add, p, up)
+        return p, st
+
+    p32, _ = run(None)
+    p16, st16 = run(jnp.bfloat16)
+    # the accumulator really is stored in bf16
+    accs = [l for l in jax.tree_util.tree_leaves(st16)
+            if hasattr(l, "dtype") and l.ndim > 0]
+    assert any(l.dtype == jnp.bfloat16 for l in accs)
+    # params stay f32 and track the f32-momentum trajectory
+    k32 = p32["dense"]["kernel"]
+    k16 = p16["dense"]["kernel"]
+    assert k16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(k16), np.asarray(k32),
+                               rtol=0, atol=2e-2 * float(
+                                   jnp.abs(k32).max()))
+
+
 def test_mesh_batch_divisibility_check():
     from tllod_tpu.parallel.mesh import check_batch_divisible, make_mesh
     mesh = make_mesh()  # 8 virtual CPU devices (conftest)

@@ -75,9 +75,20 @@ def make_sgd(learning_rate: Callable[[int], float] | float, *,
              momentum: float = 0.9, weight_decay: float = 5e-4,
              double_bias: bool = True, bias_decay: bool = False,
              clip_norm: Optional[float] = None,
-             trainable: Callable = default_trainable
+             trainable: Callable = default_trainable,
+             momentum_dtype: Optional[Any] = None
              ) -> optax.GradientTransformation:
-    """Build the reference-equivalent SGD chain."""
+    """Build the reference-equivalent SGD chain.
+
+    ``momentum_dtype=jnp.bfloat16`` stores the momentum accumulator in
+    bf16 (the ``--bf16_momentum`` train flag): halves the optimizer's
+    largest HBM stream (142M-param velocity read+write per step). The
+    accumulation ``m ← 0.9·m + g`` is computed in the update's working
+    precision and only STORED rounded, so the trajectory tracks f32
+    momentum to ~1e-2 relative per step (regression:
+    ``tests/test_optim.py``); off by default — the reference semantics
+    (torch f32) remain the default everywhere.
+    """
     parts = [mask_updates(trainable)]
     if clip_norm is not None:
         parts.append(optax.clip_by_global_norm(clip_norm))
@@ -89,7 +100,8 @@ def make_sgd(learning_rate: Callable[[int], float] | float, *,
                 params)
         parts.append(optax.add_decayed_weights(weight_decay, mask=decay_mask))
     if momentum:
-        parts.append(optax.trace(decay=momentum, nesterov=False))
+        parts.append(optax.trace(decay=momentum, nesterov=False,
+                                 accumulator_dtype=momentum_dtype))
     parts.append(optax.scale_by_learning_rate(learning_rate))  # gives -lr*v
     if double_bias:
         def bias_mask(params):
@@ -180,7 +192,11 @@ def build_optimizer(args, cfg, steps_per_epoch: int,
     if opt == "adam":
         tx = make_adam(schedule, **common)
     elif opt == "sgd":
-        tx = make_sgd(schedule, momentum=cfg.TRAIN.MOMENTUM, **common)
+        import jax.numpy as _jnp
+        mdt = (_jnp.bfloat16
+               if getattr(args, "bf16_momentum", False) else None)
+        tx = make_sgd(schedule, momentum=cfg.TRAIN.MOMENTUM,
+                      momentum_dtype=mdt, **common)
     else:
         raise ValueError(f"unknown optimizer {opt!r} (expected sgd|adam)")
     return schedule, tx

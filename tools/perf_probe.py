@@ -87,6 +87,10 @@ def main():
                     help="daf probe ablation: zero out the six DA losses so "
                          "XLA dead-code-eliminates the target branch "
                          "(machinery + DA heads + its backbone bwd share)")
+    ap.add_argument("--bf16_momentum", action="store_true",
+                    help="sgd/daf probes: store the momentum accumulator "
+                         "in bf16 (the --bf16_momentum train flag) — "
+                         "measures the optimizer HBM saving in-program")
     args = ap.parse_args()
     if args.precision:
         # process-wide so EVERY probe honors it, not just the backbone one
@@ -280,7 +284,9 @@ def main():
         s0 = _make_batch(1, 128, 256, domain=1, seed=0)
         t0_ = _make_batch(1, 128, 256, domain=0, seed=1)
         params = model.init(rngs, s0, t0_, training=True)["params"]
-        tx = make_sgd(0.002, clip_norm=10.0)
+        tx = make_sgd(0.002, clip_norm=10.0,
+                      momentum_dtype=(jnp.bfloat16 if args.bf16_momentum
+                                      else None))
         opt_state = tx.init(params)
         grads = jax.tree_util.tree_map(
             lambda x: jnp.full_like(x, 1e-4), params)
@@ -385,7 +391,9 @@ def main():
         s0 = _make_batch(b, 128, 256, domain=1, seed=0)
         t0_ = _make_batch(b, 128, 256, domain=0, seed=1)
         params = model.init(rngs, s0, t0_, training=True)["params"]
-        tx = make_sgd(0.002, clip_norm=10.0)
+        tx = make_sgd(0.002, clip_norm=10.0,
+                      momentum_dtype=(jnp.bfloat16 if args.bf16_momentum
+                                      else None))
         state = create_train_state(params, tx)
 
         def apply_fn(p, r, s, t):
