@@ -91,6 +91,10 @@ def main():
                     help="sgd/daf probes: store the momentum accumulator "
                          "in bf16 (the --bf16_momentum train flag) — "
                          "measures the optimizer HBM saving in-program")
+    ap.add_argument("--no_rpn_tgt", action="store_true",
+                    help="daf probe ablation: drop the two RPN losses so "
+                         "anchor-target DCEs away — its true in-program "
+                         "cost by subtraction")
     args = ap.parse_args()
     if args.precision:
         # process-wide so EVERY probe honors it, not just the backbone one
@@ -400,6 +404,19 @@ def main():
             return model.apply({"params": p}, s, t, training=True, rngs=r)
 
         loss_fn = daf_loss
+        if args.no_rpn_tgt:
+            # drop the two RPN losses: XLA dead-code-eliminates the
+            # anchor-target layer (overlaps + top_k sampling + encode) AND
+            # both RPN loss reductions — whole-program subtraction gives
+            # their true in-program cost (the isolated anchortgt probe is
+            # dispatch-floored). Proposal/NMS can NOT be ablated this way:
+            # the head consumes its RoIs.
+            def loss_fn(out, lamda=0.1):
+                det_l = out["rcnn_loss_cls"] + out["rcnn_loss_box"]
+                return det_l + lamda * (
+                    out["da_img_loss"] + out["da_ins_loss"]
+                    + out["da_cst_loss"] + out["tgt_da_img_loss"]
+                    + out["tgt_da_ins_loss"] + out["tgt_da_cst_loss"])
         if args.no_tgt:
             # drop the three target-domain terms: XLA dead-code-eliminates
             # the whole target branch (proposal NMS, RoIAlign, head, DA
