@@ -107,6 +107,14 @@ TRAIN_CLI = {"daf": "methods/DAF/DAF_train.py",
              "idf": "methods/IDF/IDF_train.py",
              "pa_atf": "methods/PA_ATF/PA_ATF_train.py",
              "pt_maf": "methods/PT_MAF/PT_MAF_train.py"}
+# Canonical per-method hyperparameters from the reference .sh recipes —
+# used when --lr is not given explicitly.  ATF/PA-ATF train at 1e-3
+# (``/root/reference/methods/ATF/ATF_train.sh`` / ``PA_ATF_train.sh``; the
+# first ATF overfit attempt at DAF's 2e-3 diverged — adversarial image-DA
+# blowup, mAP 0.11), PA-ATF additionally runs λ=0.7 β=0.1.
+METHOD_LR = {"atf": 1e-3, "pa_atf": 1e-3}
+METHOD_EXTRA = {"pa_atf": ["--lamda", "0.7", "--beta", "0.1"]}
+
 TEST_CLI = {"daf": "methods/DAF/DAF_test.py",
             "mad": "methods/MAD/MAD_test.py",
             "atf": "methods/ATF/ATF_test.py",
@@ -198,7 +206,8 @@ def main() -> None:
                     help="backbone (us_daf's published setting is res101)")
     ap.add_argument("--root", default="/tmp/overfit_data")
     ap.add_argument("--steps", type=int, default=400)
-    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="default: the method's canonical reference lr")
     ap.add_argument("--min_map", type=float, default=0.85)
     ap.add_argument("--skip_train", action="store_true")
     args = ap.parse_args()
@@ -214,6 +223,8 @@ def main() -> None:
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
     m = args.method
+    if args.lr is None:
+        args.lr = METHOD_LR.get(m, 2e-3)
     save_dir = os.path.join(args.root, f"out_{m}_{args.net}"
                             if args.net != "vgg16" else f"out_{m}")
     log = os.path.join(args.root, f"{m}.log")
@@ -228,6 +239,7 @@ def main() -> None:
             teacher = train_source_teacher(args, env, log,
                                            "out_pt_maf_teacher")
             extra = ["--teacher_ckpt", teacher]
+        extra += METHOD_EXTRA.get(m, [])
         rc = run([sys.executable, TRAIN_CLI[m], "--dataset", "cityscape",
                   "--net", args.net, "--bs", "1", "--lr", str(args.lr),
                   "--lr_decay_step", "1000", "--epochs", str(epochs),
