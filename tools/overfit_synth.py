@@ -114,6 +114,11 @@ TRAIN_CLI = {"daf": "methods/DAF/DAF_train.py",
 # blowup, mAP 0.11), PA-ATF additionally runs λ=0.7 β=0.1.
 METHOD_LR = {"atf": 1e-3, "pa_atf": 1e-3}
 METHOD_EXTRA = {"pa_atf": ["--lamda", "0.7", "--beta", "0.1"]}
+# PA-ATF's partial-alignment mask head (5x5 s3 -> 2x2 pool -> 3x3 s2, all
+# VALID — faithful to ``lib/PA_ATF/faster_rcnn.py:69-103``, designed for
+# 600-px inputs) needs shortest side ≥ 320 or the conv4/conv5 taps collapse
+# to zero-size spatial dims. Appended AFTER SET_CFGS so the later pair wins.
+METHOD_SET = {"pa_atf": ["TRAIN.SCALES", "(320,)", "TEST.SCALES", "(320,)"]}
 
 TEST_CLI = {"daf": "methods/DAF/DAF_test.py",
             "mad": "methods/MAD/MAD_test.py",
@@ -247,7 +252,8 @@ def main() -> None:
                   # each epoch save fetches ~1 GB over the TPU tunnel
                   # (~5 min on this host) — only the final one matters here
                   "--save_epoch_interval", "1000",
-                  "--save_dir", save_dir, "--set"] + SET_CFGS + extra,
+                  "--save_dir", save_dir, "--set"] + SET_CFGS
+                 + METHOD_SET.get(m, []) + extra,
                  env, log)
         if rc != 0:
             sys.exit(f"{m} training failed rc={rc} (see {log})")
@@ -266,7 +272,7 @@ def main() -> None:
               "--part", "test_s", "--net", args.net,
               "--load_name", ckpt,
               "--output_dir", os.path.join(args.root, f"eval_{m}"),
-              "--set"] + SET_CFGS, env, eval_log)
+              "--set"] + SET_CFGS + METHOD_SET.get(m, []), env, eval_log)
     if rc != 0:
         sys.exit(f"{m} eval failed rc={rc} (see {eval_log})")
 
