@@ -99,7 +99,8 @@ SET_CFGS = ["TRAIN.SCALES", "(128,)", "TEST.SCALES", "(128,)",
             "TEST.RPN_PRE_NMS_TOP_N", "300", "TEST.RPN_POST_NMS_TOP_N", "64",
             "ANCHOR_SCALES", "[2,4,8]", "MAX_NUM_GT_BOXES", "10"]
 
-TRAIN_CLI = {"daf": "methods/DAF/DAF_train.py",
+TRAIN_CLI = {"faster_rcnn": "methods/faster_rcnn/faster_rcnn_train.py",
+             "daf": "methods/DAF/DAF_train.py",
              "mad": "methods/MAD/MAD_train.py",
              "atf": "methods/ATF/ATF_train.py",
              "maf": "methods/MAF/MAF_train.py",
@@ -120,7 +121,8 @@ METHOD_EXTRA = {"pa_atf": ["--lamda", "0.7", "--beta", "0.1"]}
 # to zero-size spatial dims. Appended AFTER SET_CFGS so the later pair wins.
 METHOD_SET = {"pa_atf": ["TRAIN.SCALES", "(320,)", "TEST.SCALES", "(320,)"]}
 
-TEST_CLI = {"daf": "methods/DAF/DAF_test.py",
+TEST_CLI = {"faster_rcnn": "methods/faster_rcnn/faster_rcnn_test.py",
+            "daf": "methods/DAF/DAF_test.py",
             "mad": "methods/MAD/MAD_test.py",
             "atf": "methods/ATF/ATF_test.py",
             "maf": "methods/MAF/MAF_test.py",
