@@ -217,6 +217,9 @@ def main() -> None:
                     help="default: the method's canonical reference lr")
     ap.add_argument("--min_map", type=float, default=0.85)
     ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--extra", action="append", default=[],
+                    help="extra train-CLI flag token (repeatable), e.g. "
+                         "--extra=--lamda --extra=0.01")
     args = ap.parse_args()
 
     if not os.path.exists(os.path.join(args.root, "cityscape", "VOC2007",
@@ -246,7 +249,7 @@ def main() -> None:
             teacher = train_source_teacher(args, env, log,
                                            "out_pt_maf_teacher")
             extra = ["--teacher_ckpt", teacher]
-        extra += METHOD_EXTRA.get(m, [])
+        extra += METHOD_EXTRA.get(m, []) + args.extra
         rc = run([sys.executable, TRAIN_CLI[m], "--dataset", "cityscape",
                   "--net", args.net, "--bs", "1", "--lr", str(args.lr),
                   "--lr_decay_step", "1000", "--epochs", str(epochs),
@@ -289,7 +292,9 @@ def main() -> None:
         with open(out_path) as f:
             results = json.load(f)
     key = m if args.net == "vgg16" else f"{m}_{args.net}"
+    extra_flags = METHOD_EXTRA.get(m, []) + args.extra
     results[key] = {"steps": args.steps, "lr": args.lr, "net": args.net,
+                  **({"extra": " ".join(extra_flags)} if extra_flags else {}),
                   "train_map_overfit": final_map,
                   "checkpoint": ckpt,
                   "backend": "tpu" if "tpu" in text.lower() or
