@@ -114,7 +114,17 @@ TRAIN_CLI = {"faster_rcnn": "methods/faster_rcnn/faster_rcnn_train.py",
 # first ATF overfit attempt at DAF's 2e-3 diverged — adversarial image-DA
 # blowup, mAP 0.11), PA-ATF additionally runs λ=0.7 β=0.1.
 METHOD_LR = {"atf": 1e-3, "pa_atf": 1e-3}
-METHOD_EXTRA = {"pa_atf": ["--lamda", "0.7", "--beta", "0.1"]}
+# ATF overfits with the DA trade-off turned down to λ=0.01 (a reference CLI
+# knob, ``methods/ATF/ATF_train.py:105``).  At the canonical λ=0.1 the
+# 16-image adversarial game runs away — the feature side saturates the
+# image discriminators (tgt_da_img BCE spikes to 35) and detection never
+# converges (two honest failures recorded: lr 2e-3 → mAP 0.110, lr 1e-3 →
+# mAP 0.038).  With λ=0.01 the same program converges to 0.977; the
+# instability is a tiny-data regime artifact of the min-max objective, not
+# a program bug (ATF's loss terms are pinned against the reference in
+# tests/test_golden_methods.py).
+METHOD_EXTRA = {"atf": ["--lamda", "0.01"],
+                "pa_atf": ["--lamda", "0.7", "--beta", "0.1"]}
 # PA-ATF's partial-alignment mask head (5x5 s3 -> 2x2 pool -> 3x3 s2, all
 # VALID — faithful to ``lib/PA_ATF/faster_rcnn.py:69-103``, designed for
 # 600-px inputs) needs shortest side ≥ 320 or the conv4/conv5 taps collapse
